@@ -1,0 +1,143 @@
+"""Model architecture configs mirroring the reference YAMLs
+(src/f5_tts/configs/*.yaml) plus mel/training hyperparameters.
+
+These are plain frozen dataclasses — no hydra.  ``MODEL_CONFIGS[name]`` gives
+the shipped architectures; ``from_yaml_dict`` accepts a reference-format dict
+so user YAML/TOML configs keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+from f5_tts_tpu.ops.mel import MelConfig
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    """DiT backbone arch (reference backbones/dit.py:170-235)."""
+
+    dim: int = 1024
+    depth: int = 22
+    heads: int = 16
+    dim_head: int = 64
+    ff_mult: int = 2
+    mel_dim: int = 100
+    text_num_embeds: int = 2545  # vocab size (Emilia pinyin vocab has 2545 entries)
+    text_dim: int = 512
+    text_mask_padding: bool = True
+    text_embedding_average_upsampling: bool = False
+    qk_norm: str | None = None
+    conv_layers: int = 4
+    conv_mult: int = 2
+    pe_attn_head: int | None = None
+    long_skip_connection: bool = False
+    checkpoint_activations: bool = False
+    backbone: str = "DiT"
+    # rope/abs-pos table horizon: 8192 frames ~ 87s @ 24kHz hop 256 (dit.py:47)
+    max_pos: int = 8192
+
+
+@dataclass(frozen=True)
+class UNetTConfig:
+    """UNetT (E2-TTS) backbone arch (reference backbones/unett.py:108-307)."""
+
+    dim: int = 1024
+    depth: int = 24
+    heads: int = 16
+    dim_head: int = 64
+    ff_mult: int = 4
+    mel_dim: int = 100
+    text_num_embeds: int = 2545
+    text_dim: int | None = None  # None -> mel_dim
+    text_mask_padding: bool = True
+    qk_norm: str | None = None
+    conv_layers: int = 0
+    conv_mult: int = 2
+    pe_attn_head: int | None = None
+    skip_connect_type: str = "concat"
+    checkpoint_activations: bool = False
+    backbone: str = "UNetT"
+    max_pos: int = 4096
+
+
+@dataclass(frozen=True)
+class MMDiTConfig:
+    """MMDiT dual-stream backbone arch (reference backbones/mmdit.py:87-262)."""
+
+    dim: int = 1024
+    depth: int = 22
+    heads: int = 16
+    dim_head: int = 64
+    ff_mult: int = 4
+    mel_dim: int = 100
+    text_num_embeds: int = 2545
+    text_mask_padding: bool = True
+    qk_norm: str | None = None
+    checkpoint_activations: bool = False
+    backbone: str = "MMDiT"
+    max_pos: int = 4096
+    text_max_pos: int = 1024
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    name: str
+    arch: DiTConfig | UNetTConfig | MMDiTConfig
+    mel: MelConfig = MelConfig()
+    tokenizer: str = "pinyin"
+
+
+def _dit(name, tokenizer="pinyin", **kw) -> ModelConfig:
+    return ModelConfig(name=name, arch=DiTConfig(**kw), tokenizer=tokenizer)
+
+
+MODEL_CONFIGS: dict[str, ModelConfig] = {
+    # F5TTS_v1_Base.yaml:20-44
+    "F5TTS_v1_Base": _dit("F5TTS_v1_Base", dim=1024, depth=22, heads=16, ff_mult=2,
+                          text_dim=512, text_mask_padding=True, conv_layers=4, pe_attn_head=None),
+    # F5TTS_Base.yaml (legacy v0): pe_attn_head=1, no padding mask
+    "F5TTS_Base": _dit("F5TTS_Base", dim=1024, depth=22, heads=16, ff_mult=2,
+                       text_dim=512, text_mask_padding=False, conv_layers=4, pe_attn_head=1),
+    "F5TTS_v1_Small": _dit("F5TTS_v1_Small", tokenizer="char", dim=768, depth=18, heads=12,
+                           ff_mult=2, text_dim=512, text_mask_padding=True, conv_layers=4,
+                           pe_attn_head=None),
+    "F5TTS_Small": _dit("F5TTS_Small", dim=768, depth=18, heads=12, ff_mult=2,
+                        text_dim=512, text_mask_padding=False, conv_layers=4, pe_attn_head=1),
+    "E2TTS_Base": ModelConfig(
+        name="E2TTS_Base",
+        arch=UNetTConfig(dim=1024, depth=24, heads=16, ff_mult=4,
+                         text_mask_padding=False, pe_attn_head=1),
+    ),
+    "E2TTS_Small": ModelConfig(
+        name="E2TTS_Small",
+        arch=UNetTConfig(dim=768, depth=20, heads=12, ff_mult=4,
+                         text_mask_padding=False, pe_attn_head=1),
+    ),
+}
+
+
+def from_yaml_dict(model: dict) -> ModelConfig:
+    """Build a ModelConfig from a reference-format ``model:`` YAML section."""
+    backbone = model.get("backbone", "DiT")
+    arch_kw = dict(model.get("arch", {}))
+    # reference-only knobs that don't apply to the XLA build
+    for k in ("attn_backend", "attn_mask_enabled"):
+        arch_kw.pop(k, None)
+    cls = {"DiT": DiTConfig, "UNetT": UNetTConfig, "MMDiT": MMDiTConfig}[backbone]
+    valid = {f.name for f in dataclasses.fields(cls)}
+    arch = cls(**{k: v for k, v in arch_kw.items() if k in valid})
+    mel_kw = dict(model.get("mel_spec", {}))
+    valid_mel = {f.name for f in dataclasses.fields(MelConfig)}
+    mel = MelConfig(**{k: v for k, v in mel_kw.items() if k in valid_mel})
+    return ModelConfig(
+        name=model.get("name", "custom"),
+        arch=arch,
+        mel=mel,
+        tokenizer=model.get("tokenizer", "pinyin"),
+    )
+
+
+def with_vocab_size(cfg: ModelConfig, vocab_size: int) -> ModelConfig:
+    return dataclasses.replace(cfg, arch=dataclasses.replace(cfg.arch, text_num_embeds=vocab_size))

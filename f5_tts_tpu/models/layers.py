@@ -179,13 +179,12 @@ def conv_pos_embed_init(key, dim: int, kernel_size: int = 31, groups: int = 16):
     return {
         "conv1": conv1d_init(k1, dim, dim, kernel_size, groups=groups),
         "conv2": conv1d_init(k2, dim, dim, kernel_size, groups=groups),
-        "groups": groups,
     }
 
 
-def conv_pos_embed(p, x, mask=None):
+def conv_pos_embed(p, x, mask=None, groups: int = 16):
     """Re-masks after each conv so padding never leaks (modules.py:192-197)."""
-    g = int(p["groups"])
+    g = groups
     m = None if mask is None else mask[..., None].astype(x.dtype)
     if m is not None:
         x = x * m
@@ -212,12 +211,11 @@ def timestep_embed_init(key, dim: int, freq_embed_dim: int = 256):
     return {
         "mlp1": linear_init(k1, freq_embed_dim, dim),
         "mlp2": linear_init(k2, dim, dim),
-        "freq_embed_dim": freq_embed_dim,
     }
 
 
-def timestep_embed(p, t: jax.Array, dtype=jnp.float32) -> jax.Array:
-    h = sinus_pos_embed(t, int(p["freq_embed_dim"])).astype(dtype)
+def timestep_embed(p, t: jax.Array, dtype=jnp.float32, freq_embed_dim: int = 256) -> jax.Array:
+    h = sinus_pos_embed(t, freq_embed_dim).astype(dtype)
     h = linear(p["mlp1"], h)
     h = jax.nn.silu(h)
     return linear(p["mlp2"], h)

@@ -49,8 +49,8 @@ def convnext_v2(p, x, dilation=1):
     return residual + x
 
 
-def conv_pos_embed(p, x, mask=None):
-    g = int(p["groups"])
+def conv_pos_embed(p, x, mask=None, groups=16):
+    g = groups
     xm = x
     if mask is not None:
         xm = xm.masked_fill(~mask.unsqueeze(-1), 0.0)
@@ -73,8 +73,8 @@ def sinus_pos_embed(x, dim, scale=1000.0):
     return torch.cat((emb.sin(), emb.cos()), dim=-1)
 
 
-def timestep_embed(p, time):
-    h = sinus_pos_embed(time, int(p["freq_embed_dim"]))
+def timestep_embed(p, time, freq_embed_dim=256):
+    h = sinus_pos_embed(time, freq_embed_dim)
     return linear(p["mlp2"], F.silu(linear(p["mlp1"], h)))
 
 

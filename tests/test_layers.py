@@ -66,8 +66,8 @@ def test_timestep_embed_matches_torch():
     key = jax.random.PRNGKey(4)
     p = L.timestep_embed_init(key, 128)
     tt = np.array([0.0, 0.25, 0.9], dtype=np.float32)
-    got = np.asarray(L.timestep_embed(p, jnp.asarray(tt)))
-    want = O.timestep_embed(np_tree(p), torch.from_numpy(tt)).numpy()
+    got = np.asarray(L.timestep_embed(p, jnp.asarray(tt), freq_embed_dim=256))
+    want = O.timestep_embed(np_tree(p), torch.from_numpy(tt), freq_embed_dim=256).numpy()
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
