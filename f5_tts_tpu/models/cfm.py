@@ -1,0 +1,212 @@
+"""Conditional flow matching: training loss + zero-shot infilling sampler.
+
+Functional rebuild of reference src/f5_tts/model/cfm.py:34-302.  The TPU-first
+difference vs the reference/TRT runtime: the ENTIRE NFE Euler loop — fused-CFG
+2B forward, guidance combine, Euler update — runs as one ``lax.scan`` inside a
+single jitted graph (the reference pays one engine dispatch per ODE step,
+runtime/triton_trtllm/f5_tts_trtllm.py:296-372).  The text encoder runs once
+before the scan for both CFG streams (replacing the reference's thread-local
+text-embed cache, backbones/dit.py:239-262).
+
+Static shapes: callers pad ``cond``/``noise`` to a bucketed max length; all
+dynamic lengths (``lens``, ``duration``) are masked in-graph.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5_tts_tpu.models import dit
+
+
+# Empirically Pruned Step Sampling tables (reference model/utils.py:205-218),
+# expressed as fractions of 32.
+_EPSS = {
+    5: [0, 2, 4, 8, 16, 32],
+    6: [0, 2, 4, 6, 8, 16, 32],
+    7: [0, 2, 4, 6, 8, 16, 24, 32],
+    10: [0, 2, 4, 6, 8, 12, 16, 20, 24, 28, 32],
+    12: [0, 2, 4, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32],
+    16: [0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32],
+}
+
+
+def timestep_schedule(
+    steps: int,
+    sway_sampling_coef: float | None = -1.0,
+    use_epss: bool = True,
+    t_start: float = 0.0,
+) -> np.ndarray:
+    """Host-precomputed ODE timesteps [steps+1] incl. sway warping
+    (cfm.py:211-216).  With coef=-1: t' = 1 - cos(pi*t/2)."""
+    if t_start == 0.0 and use_epss and steps in _EPSS:
+        t = np.asarray(_EPSS[steps], dtype=np.float64) / 32.0
+    else:
+        t = np.linspace(t_start, 1.0, steps + 1, dtype=np.float64)
+    if sway_sampling_coef is not None:
+        t = t + sway_sampling_coef * (np.cos(np.pi / 2.0 * t) - 1.0 + t)
+    return t.astype(np.float32)
+
+
+@dataclass(frozen=True)
+class SampleOptions:
+    """Inference knobs (defaults = reference utils_infer.py:52-65)."""
+
+    steps: int = 32
+    cfg_strength: float = 2.0
+    sway_sampling_coef: float | None = -1.0
+    use_epss: bool = True
+    t_start: float = 0.0
+
+
+def lens_to_mask(lens: jax.Array, length: int) -> jax.Array:
+    return jnp.arange(length)[None, :] < lens[:, None]
+
+
+def sample(
+    params,
+    arch_cfg,
+    cond: jax.Array,  # [b, n, d] reference mel, zero-padded to bucket length n
+    text_ids: jax.Array,  # [b, nt] int ids, -1 padded
+    duration: jax.Array,  # [b] total frames (ref + generated), <= n
+    noise: jax.Array,  # [b, n, d] N(0,1); padding region may be nonzero (masked here)
+    lens: jax.Array | None = None,  # [b] ref-audio frames; default: full cond
+    opts: SampleOptions = SampleOptions(),
+    edit_mask: jax.Array | None = None,  # [b, n] True where ref audio is KEPT
+    no_ref_audio: bool = False,
+    return_trajectory: bool = False,
+    backend: str = "auto",
+):
+    """CFM.sample (cfm.py:83-229) — returns generated mel [b, n, d] (frames
+    beyond ``duration`` zeroed; the ref region is overwritten with ``cond``).
+    """
+    b, n, d = cond.shape
+    compute_dtype = cond.dtype
+    if lens is None:
+        lens = jnp.full((b,), n, dtype=jnp.int32)
+
+    # ref-region mask (cond_mask): positions whose mel is fixed to the prompt
+    cond_mask = lens_to_mask(lens, n)
+    if edit_mask is not None:
+        cond_mask = cond_mask & edit_mask
+
+    if no_ref_audio:
+        cond = jnp.zeros_like(cond)
+
+    step_cond = jnp.where(cond_mask[..., None], cond, 0.0)
+
+    # duration >= max(text_len, lens) + 1 so something is generated (cfm.py:135-138)
+    text_len = jnp.sum(text_ids != -1, axis=-1)
+    duration = jnp.maximum(jnp.maximum(text_len, lens) + 1, duration)
+    duration = jnp.clip(duration, max=n)
+    mask = lens_to_mask(duration, n)
+
+    # text embeddings for both CFG streams, computed ONCE (no per-step cache)
+    te_cond = dit.text_embedding(params, arch_cfg, text_ids, n, lens=duration).astype(compute_dtype)
+    use_cfg = opts.cfg_strength >= 1e-5
+    if use_cfg:
+        te_uncond = dit.text_embedding(
+            params, arch_cfg, text_ids, n, lens=duration, drop_text=True
+        ).astype(compute_dtype)
+
+    y0 = jnp.where(mask[..., None], noise, 0.0).astype(compute_dtype)
+
+    ts = timestep_schedule(opts.steps, opts.sway_sampling_coef, opts.use_epss, opts.t_start)
+    t_dt = jnp.stack([ts[:-1], ts[1:] - ts[:-1]], axis=1)  # [steps, 2]
+
+    def ode_step(x, t_dt_k):
+        t_k, dt_k = t_dt_k[0], t_dt_k[1]
+        time = jnp.broadcast_to(t_k, (b,)).astype(compute_dtype)
+        if use_cfg:
+            pred, null = dit.forward_cfg(
+                params, arch_cfg, x, step_cond, te_cond, te_uncond, time, mask=mask, backend=backend
+            )
+            v = pred + (pred - null) * opts.cfg_strength
+        else:
+            v = dit.forward(
+                params, arch_cfg, x, step_cond, te_cond, time, mask=mask, backend=backend
+            )
+        x = x + dt_k.astype(compute_dtype) * v
+        return x, (x if return_trajectory else None)
+
+    y, traj = jax.lax.scan(ode_step, y0, t_dt)
+
+    out = jnp.where(cond_mask[..., None], cond, y)
+    out = jnp.where(mask[..., None], out, 0.0)
+    if return_trajectory:
+        return out, jnp.concatenate([y0[None], traj], axis=0)
+    return out
+
+
+def mask_from_frac_lengths(key: jax.Array, lens: jax.Array, length: int, frac_range=(0.7, 1.0)):
+    """Random contiguous span mask covering frac in [0.7, 1.0] of each sample
+    (reference model/utils.py:61-77)."""
+    k1, k2 = jax.random.split(key)
+    b = lens.shape[0]
+    frac = jax.random.uniform(k1, (b,), minval=frac_range[0], maxval=frac_range[1])
+    span = (frac * lens).astype(jnp.int32)
+    max_start = lens - span
+    start = (max_start * jax.random.uniform(k2, (b,))).astype(jnp.int32)
+    start = jnp.maximum(start, 0)
+    end = start + span
+    pos = jnp.arange(length)[None, :]
+    return (pos >= start[:, None]) & (pos < end[:, None])
+
+
+def loss(
+    params,
+    arch_cfg,
+    mel: jax.Array,  # [b, n, d] target mel (x1)
+    text_ids: jax.Array,  # [b, nt]
+    lens: jax.Array,  # [b]
+    key: jax.Array,
+    audio_drop_prob: float = 0.3,
+    cond_drop_prob: float = 0.2,
+    frac_lengths_mask=(0.7, 1.0),
+    backend: str = "auto",
+):
+    """CFM training loss (cfm.py:231-302): flow-matching MSE over a random
+    infilling span, with CFG condition drops.
+
+    The reference draws drop decisions per optimizer step at python level
+    (cfm.py:286-291, shared across the batch); here they are traced bernoullis
+    from ``key`` — same distribution, jit-compatible.
+    """
+    b, n, d = mel.shape
+    k_frac, k_x0, k_t, k_drop1, k_drop2 = jax.random.split(key, 5)
+
+    mask = lens_to_mask(lens, n)
+    rand_span_mask = mask_from_frac_lengths(k_frac, lens, n, frac_lengths_mask) & mask
+
+    x1 = mel
+    x0 = jax.random.normal(k_x0, x1.shape, dtype=x1.dtype)
+    time = jax.random.uniform(k_t, (b,), dtype=x1.dtype)
+
+    t = time[:, None, None]
+    phi = (1.0 - t) * x0 + t * x1
+    flow = x1 - x0
+
+    cond = jnp.where(rand_span_mask[..., None], 0.0, x1)
+
+    drop_audio = jax.random.bernoulli(k_drop1, audio_drop_prob)
+    drop_both = jax.random.bernoulli(k_drop2, cond_drop_prob)
+    drop_audio = drop_audio | drop_both
+
+    # traced drops: zero the conditioning inputs (equivalent to the reference's
+    # boolean branches in dit.py:106-112, 159-161)
+    te = dit.text_embedding(params, arch_cfg, text_ids, n, lens=None)
+    te_uncond = dit.text_embedding(params, arch_cfg, text_ids, n, lens=None, drop_text=True)
+    te = jnp.where(drop_both, te_uncond.astype(x1.dtype), te.astype(x1.dtype))
+    cond_in = jnp.where(drop_audio, 0.0, cond)
+
+    pred = dit.forward(params, arch_cfg, phi, cond_in, te, time, mask=mask, backend=backend)
+
+    sq = jnp.square(pred - flow)
+    w = rand_span_mask[..., None].astype(jnp.float32)
+    total = jnp.sum(sq.astype(jnp.float32) * w)
+    count = jnp.maximum(jnp.sum(w) * d, 1.0)  # selected elements = masked frames * d
+    return total / count
