@@ -1,0 +1,260 @@
+"""Checkpoint interop: released PyTorch F5-TTS / Vocos weights <-> JAX pytrees.
+
+Handles the reference's released formats (reference trainer.py:150-263,
+infer/utils_infer.py:190-232):
+- training ``.pt`` dicts {model_state_dict, ema_model_state_dict, update, ...}
+- EMA-only ``.safetensors`` (released weights), keys prefixed ``ema_model.``
+- Vocos ``pytorch_model.bin`` from charactr/vocos-mel-24khz
+
+Layout mapping (torch -> here):
+- Linear   weight [out, in]      -> kernel [in, out]
+- Conv1d   weight [out, in/g, k] -> kernel [k, in/g, out]
+- GRN      gamma/beta [1, 1, d]  -> [d]
+- transformer_blocks.{i}.*       -> blocks.* stacked on a leading depth axis
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5_tts_tpu.models.configs import DiTConfig
+
+
+# ---------------------------------------------------------------------------
+# raw state-dict loading
+
+
+def load_torch_state(path: str, use_ema: bool = True) -> dict[str, np.ndarray]:
+    """Load a reference checkpoint file into {name: np.ndarray}.
+
+    Mirrors reference load_checkpoint (utils_infer.py:190-232): safetensors are
+    EMA-only releases; .pt dicts hold both raw and EMA weights and ``use_ema``
+    picks which to load; ``ema_model.`` prefixes are stripped; EMA bookkeeping
+    keys (initted/step/update) are dropped.
+    """
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        state = load_file(path)
+    else:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(obj, dict) and "ema_model_state_dict" in obj and use_ema:
+            state = obj["ema_model_state_dict"]
+        elif isinstance(obj, dict) and "model_state_dict" in obj:
+            state = obj["model_state_dict"]
+        else:
+            state = obj
+        state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in state.items()}
+    out = {}
+    for k, v in state.items():
+        if k in ("initted", "step", "update", "ema_model.initted", "ema_model.step", "ema_model.update"):
+            continue
+        if k.startswith("ema_model."):
+            k = k[len("ema_model.") :]
+        # dropped legacy mel buffers (reference trainer.py:227-229)
+        if k.startswith("mel_spec.") or k.endswith("freqs_cis") or k.endswith("inv_freq"):
+            continue
+        out[k] = np.asarray(v)
+    return out
+
+
+def _lin(state, name):
+    p = {"kernel": jnp.asarray(state[f"{name}.weight"].T)}
+    if f"{name}.bias" in state:
+        p["bias"] = jnp.asarray(state[f"{name}.bias"])
+    return p
+
+
+def _conv(state, name):
+    p = {"kernel": jnp.asarray(np.transpose(state[f"{name}.weight"], (2, 1, 0)))}
+    if f"{name}.bias" in state:
+        p["bias"] = jnp.asarray(state[f"{name}.bias"])
+    return p
+
+
+def _ln(state, name):
+    return {"weight": jnp.asarray(state[f"{name}.weight"]), "bias": jnp.asarray(state[f"{name}.bias"])}
+
+
+def _convnext_v2(state, name):
+    return {
+        "dwconv": _conv(state, f"{name}.dwconv"),
+        "norm": _ln(state, f"{name}.norm"),
+        "pwconv1": _lin(state, f"{name}.pwconv1"),
+        "grn": {
+            "gamma": jnp.asarray(state[f"{name}.grn.gamma"].reshape(-1)),
+            "beta": jnp.asarray(state[f"{name}.grn.beta"].reshape(-1)),
+        },
+        "pwconv2": _lin(state, f"{name}.pwconv2"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DiT
+
+
+def dit_params_from_state(state: dict[str, np.ndarray], cfg: DiTConfig):
+    """Reference CFM state dict (keys ``transformer.*``) or bare DiT state dict
+    -> models.dit param pytree."""
+    if any(k.startswith("transformer.") for k in state):
+        state = {k[len("transformer.") :]: v for k, v in state.items() if k.startswith("transformer.")}
+
+    def block(i):
+        b = f"transformer_blocks.{i}"
+        p = {
+            "attn_norm": {"linear": _lin(state, f"{b}.attn_norm.linear")},
+            "attn": {
+                "to_q": _lin(state, f"{b}.attn.to_q"),
+                "to_k": _lin(state, f"{b}.attn.to_k"),
+                "to_v": _lin(state, f"{b}.attn.to_v"),
+                "to_out": _lin(state, f"{b}.attn.to_out.0"),
+            },
+            "ff": {"in": _lin(state, f"{b}.ff.ff.0.0"), "out": _lin(state, f"{b}.ff.ff.2")},
+        }
+        if f"{b}.attn.q_norm.weight" in state:
+            p["attn"]["q_norm"] = {"weight": jnp.asarray(state[f"{b}.attn.q_norm.weight"])}
+            p["attn"]["k_norm"] = {"weight": jnp.asarray(state[f"{b}.attn.k_norm.weight"])}
+        return p
+
+    blocks = [block(i) for i in range(cfg.depth)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    text_p = {"embed": {"weight": jnp.asarray(state["text_embed.text_embed.weight"])}}
+    if cfg.conv_layers > 0:
+        text_p["blocks"] = [
+            _convnext_v2(state, f"text_embed.text_blocks.{i}") for i in range(cfg.conv_layers)
+        ]
+
+    params = {
+        "time_embed": {
+            "mlp1": _lin(state, "time_embed.time_mlp.0"),
+            "mlp2": _lin(state, "time_embed.time_mlp.2"),
+        },
+        "text_embed": text_p,
+        "input_embed": {
+            "proj": _lin(state, "input_embed.proj"),
+            "conv_pos": {
+                "conv1": _conv(state, "input_embed.conv_pos_embed.conv1d.0"),
+                "conv2": _conv(state, "input_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "blocks": stacked,
+        "norm_out": {"linear": _lin(state, "norm_out.linear")},
+        "proj_out": _lin(state, "proj_out"),
+    }
+    if "long_skip_connection.weight" in state:
+        params["long_skip"] = {"kernel": jnp.asarray(state["long_skip_connection.weight"].T)}
+    return params
+
+
+def dit_params_to_state(params, cfg: DiTConfig, prefix: str = "") -> dict[str, np.ndarray]:
+    """Inverse mapping (for interop/testing): pytree -> reference-named state."""
+    out = {}
+
+    def put_lin(name, p):
+        out[f"{prefix}{name}.weight"] = np.asarray(p["kernel"]).T
+        if "bias" in p:
+            out[f"{prefix}{name}.bias"] = np.asarray(p["bias"])
+
+    def put_conv(name, p):
+        out[f"{prefix}{name}.weight"] = np.transpose(np.asarray(p["kernel"]), (2, 1, 0))
+        if "bias" in p:
+            out[f"{prefix}{name}.bias"] = np.asarray(p["bias"])
+
+    def put_ln(name, p):
+        out[f"{prefix}{name}.weight"] = np.asarray(p["weight"])
+        out[f"{prefix}{name}.bias"] = np.asarray(p["bias"])
+
+    def put_cnx(name, p):
+        put_conv(f"{name}.dwconv", p["dwconv"])
+        put_ln(f"{name}.norm", p["norm"])
+        put_lin(f"{name}.pwconv1", p["pwconv1"])
+        out[f"{prefix}{name}.grn.gamma"] = np.asarray(p["grn"]["gamma"]).reshape(1, 1, -1)
+        out[f"{prefix}{name}.grn.beta"] = np.asarray(p["grn"]["beta"]).reshape(1, 1, -1)
+        put_lin(f"{name}.pwconv2", p["pwconv2"])
+
+    put_lin("time_embed.time_mlp.0", params["time_embed"]["mlp1"])
+    put_lin("time_embed.time_mlp.2", params["time_embed"]["mlp2"])
+    out[f"{prefix}text_embed.text_embed.weight"] = np.asarray(params["text_embed"]["embed"]["weight"])
+    for i, bp in enumerate(params["text_embed"].get("blocks", [])):
+        put_cnx(f"text_embed.text_blocks.{i}", bp)
+    put_lin("input_embed.proj", params["input_embed"]["proj"])
+    put_conv("input_embed.conv_pos_embed.conv1d.0", params["input_embed"]["conv_pos"]["conv1"])
+    put_conv("input_embed.conv_pos_embed.conv1d.2", params["input_embed"]["conv_pos"]["conv2"])
+    for i in range(cfg.depth):
+        bp = jax.tree.map(lambda x, i=i: x[i], params["blocks"])
+        b = f"transformer_blocks.{i}"
+        put_lin(f"{b}.attn_norm.linear", bp["attn_norm"]["linear"])
+        for nm in ("to_q", "to_k", "to_v"):
+            put_lin(f"{b}.attn.{nm}", bp["attn"][nm])
+        put_lin(f"{b}.attn.to_out.0", bp["attn"]["to_out"])
+        if "q_norm" in bp["attn"]:
+            out[f"{prefix}{b}.attn.q_norm.weight"] = np.asarray(bp["attn"]["q_norm"]["weight"])
+            out[f"{prefix}{b}.attn.k_norm.weight"] = np.asarray(bp["attn"]["k_norm"]["weight"])
+        put_lin(f"{b}.ff.ff.0.0", bp["ff"]["in"])
+        put_lin(f"{b}.ff.ff.2", bp["ff"]["out"])
+    put_lin("norm_out.linear", params["norm_out"]["linear"])
+    put_lin("proj_out", params["proj_out"])
+    if "long_skip" in params:
+        out[f"{prefix}long_skip_connection.weight"] = np.asarray(params["long_skip"]["kernel"]).T
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vocos
+
+
+def vocos_params_from_state(state: dict[str, np.ndarray], num_layers: int = 8):
+    """charactr/vocos-mel-24khz state dict -> models.vocos param pytree."""
+    blocks = []
+    for i in range(num_layers):
+        b = f"backbone.convnext.{i}"
+        blocks.append(
+            {
+                "dwconv": _conv(state, f"{b}.dwconv"),
+                "norm": _ln(state, f"{b}.norm"),
+                "pwconv1": _lin(state, f"{b}.pwconv1"),
+                "pwconv2": _lin(state, f"{b}.pwconv2"),
+                "gamma": jnp.asarray(state[f"{b}.gamma"]),
+            }
+        )
+    return {
+        "embed": _conv(state, "backbone.embed"),
+        "norm": _ln(state, "backbone.norm"),
+        "blocks": blocks,
+        "final_norm": _ln(state, "backbone.final_layer_norm"),
+        "head": _lin(state, "head.out"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# native (JAX-side) snapshots
+
+
+def save_pytree(params, path: str) -> None:
+    """Flat .npz snapshot of a pytree (inference weights interchange)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_pytree(template, path: str):
+    """Load a .npz snapshot back into the structure of ``template``."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [jnp.asarray(data[jax.tree_util.keystr(kp)]) for kp, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def params_astype(params, dtype):
+    """Cast floating leaves (fp32 master weights -> bf16 inference weights)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, params
+    )

@@ -1,0 +1,66 @@
+"""Checkpoint converter tests: roundtrip through reference-named state dicts,
+EMA-prefix handling, safetensors, and npz snapshots."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from f5_tts_tpu.models import dit as D
+from f5_tts_tpu.utils import ckpt as CK
+from tests.test_dit import SMALL, make_params
+
+
+def trees_equal(a, b):
+    ok = jax.tree.map(lambda x, y: bool(jnp.allclose(x, y, atol=0)), a, b)
+    return all(jax.tree.leaves(ok))
+
+
+def test_dit_state_roundtrip():
+    params = make_params(SMALL)
+    state = CK.dit_params_to_state(params, SMALL)
+    back = CK.dit_params_from_state(state, SMALL)
+    assert trees_equal(params, back)
+
+
+def test_load_pt_checkpoint_with_ema(tmp_path):
+    params = make_params(SMALL)
+    state = CK.dit_params_to_state(params, SMALL, prefix="transformer.")
+    sd = {("ema_model." + k): torch.from_numpy(np.array(v)) for k, v in state.items()}
+    sd["ema_model.initted"] = torch.tensor(True)
+    sd["ema_model.step"] = torch.tensor(100)
+    sd["ema_model.mel_spec.dummy"] = torch.tensor(0)
+    path = str(tmp_path / "model_last.pt")
+    torch.save({"ema_model_state_dict": sd, "update": 100}, path)
+    loaded = CK.load_torch_state(path, use_ema=True)
+    back = CK.dit_params_from_state(loaded, SMALL)
+    assert trees_equal(params, back)
+
+
+def test_load_safetensors_release(tmp_path):
+    from safetensors.numpy import save_file
+
+    params = make_params(SMALL)
+    state = CK.dit_params_to_state(params, SMALL, prefix="transformer.")
+    state = {"ema_model." + k: np.ascontiguousarray(v) for k, v in state.items()}
+    path = str(tmp_path / "model.safetensors")
+    save_file(state, path)
+    back = CK.dit_params_from_state(CK.load_torch_state(path), SMALL)
+    assert trees_equal(params, back)
+
+
+def test_npz_snapshot_roundtrip(tmp_path):
+    params = make_params(SMALL)
+    path = str(tmp_path / "weights.npz")
+    CK.save_pytree(params, path)
+    back = CK.load_pytree(params, path)
+    assert trees_equal(params, back)
+
+
+def test_params_astype():
+    params = make_params(SMALL)
+    bf16 = CK.params_astype(params, jnp.bfloat16)
+    leaves = jax.tree.leaves(bf16)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating))
