@@ -1,0 +1,192 @@
+"""Public Python API — mirrors the reference `f5_tts.api.F5TTS` surface
+(reference src/f5_tts/api.py:23-149): constructor kwargs, `infer()` signature
+and its (wav, sr, spec) return contract are preserved.
+
+Differences driven by the TPU/zero-egress environment:
+- checkpoints are local files (reference auto-downloads from HF Hub); both the
+  released .safetensors/.pt torch formats and native .npz snapshots load;
+- ``device`` selects a jax device ("tpu"/"cpu"); dtype defaults to bfloat16 on
+  TPU, float32 elsewhere (reference uses fp16 on CUDA, utils_infer.py:203).
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5_tts_tpu.audio.io import load_wav, save_wav
+from f5_tts_tpu.audio.preprocess import preprocess_ref_audio_text
+from f5_tts_tpu.infer.engine import EngineOptions, InferenceEngine
+from f5_tts_tpu.infer.pipeline import (
+    CFG_STRENGTH,
+    CROSS_FADE_DURATION,
+    NFE_STEP,
+    SPEED,
+    SWAY_SAMPLING_COEF,
+    TARGET_RMS,
+    PipelineOptions,
+    infer_process,
+)
+from f5_tts_tpu.models import dit as dit_model
+from f5_tts_tpu.models import vocos as vocos_model
+from f5_tts_tpu.models.configs import MODEL_CONFIGS, ModelConfig, with_vocab_size
+from f5_tts_tpu.text.tokenizer import get_tokenizer
+from f5_tts_tpu.utils import ckpt as ckpt_util
+
+
+class F5TTS:
+    def __init__(
+        self,
+        model: str = "F5TTS_v1_Base",
+        ckpt_file: str = "",
+        vocab_file: str = "",
+        ode_method: str = "euler",
+        use_ema: bool = True,
+        vocoder_local_path: str | None = None,
+        device: str | None = None,
+        hf_cache_dir: str | None = None,  # accepted for surface compat; unused (no egress)
+        dtype=None,
+        nfe_step: int = NFE_STEP,
+        init_random: bool = False,
+    ):
+        assert ode_method == "euler", "TPU build ships the fixed-step Euler sampler"
+        model_cfg: ModelConfig = MODEL_CONFIGS[model]
+        self.vocab, vocab_size = get_tokenizer(vocab_file or None, model_cfg.tokenizer)
+        model_cfg = with_vocab_size(model_cfg, vocab_size)
+        self.model_cfg = model_cfg
+        self.tokenizer = model_cfg.tokenizer
+
+        platform = device or ("tpu" if any(d.platform != "cpu" for d in jax.devices()) else "cpu")
+        self.device = platform
+        if dtype is None:
+            dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
+        self.seed = -1
+        self.mel_spec_type = model_cfg.mel.mel_spec_type
+        self.target_sample_rate = model_cfg.mel.target_sample_rate
+
+        # DiT weights
+        if ckpt_file:
+            if ckpt_file.endswith(".npz"):
+                template = dit_model.init(jax.random.PRNGKey(0), model_cfg.arch)
+                dit_params = ckpt_util.load_pytree(template, ckpt_file)
+            else:
+                state = ckpt_util.load_torch_state(ckpt_file, use_ema=use_ema)
+                dit_params = ckpt_util.dit_params_from_state(state, model_cfg.arch)
+        elif init_random:
+            dit_params = dit_model.init(jax.random.PRNGKey(0), model_cfg.arch)
+        else:
+            raise ValueError(
+                "ckpt_file is required (no-egress build cannot download weights);"
+                " pass init_random=True for smoke testing."
+            )
+
+        # vocoder weights
+        if vocoder_local_path:
+            if vocoder_local_path.endswith(".npz"):
+                template = vocos_model.init(jax.random.PRNGKey(0))
+                voc_params = ckpt_util.load_pytree(template, vocoder_local_path)
+            else:
+                vstate = ckpt_util.load_torch_state(vocoder_local_path, use_ema=False)
+                voc_params = ckpt_util.vocos_params_from_state(vstate)
+        elif init_random:
+            voc_params = vocos_model.init(jax.random.PRNGKey(1))
+        else:
+            voc_params = None
+
+        self.engine = InferenceEngine(
+            dit_params,
+            model_cfg,
+            vocoder_params=voc_params,
+            dtype=dtype,
+            options=EngineOptions(nfe_step=nfe_step),
+        )
+
+    # surface parity: reference api.py:86-96
+    def transcribe(self, ref_audio, language=None):
+        raise NotImplementedError(
+            "ASR transcription needs a local Whisper model; pass ref_text explicitly"
+        )
+
+    def export_wav(self, wav, file_wave, remove_silence=False):
+        save_wav(file_wave, wav, self.target_sample_rate)
+
+    def export_spectrogram(self, spec, file_spec):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(12, 4))
+        plt.imshow(spec, origin="lower", aspect="auto")
+        plt.colorbar()
+        plt.savefig(file_spec)
+        plt.close()
+
+    def infer(
+        self,
+        ref_file: str | tuple[np.ndarray, int],
+        ref_text: str,
+        gen_text: str,
+        show_info=print,
+        progress=None,  # surface compat
+        target_rms: float = TARGET_RMS,
+        cross_fade_duration: float = CROSS_FADE_DURATION,
+        sway_sampling_coef: float = SWAY_SAMPLING_COEF,
+        cfg_strength: float = CFG_STRENGTH,
+        nfe_step: int = NFE_STEP,
+        speed: float = SPEED,
+        fix_duration: float | None = None,
+        remove_silence: bool = False,
+        file_wave: str | None = None,
+        file_spec: str | None = None,
+        seed: int | None = None,
+    ):
+        if seed is None:
+            seed = random.randint(0, sys.maxsize) % (2**31 - 1)
+        self.seed = seed
+
+        (wav, sr), ref_text = preprocess_ref_audio_text(ref_file, ref_text, show_info=show_info)
+
+        eng = self.engine
+        if (
+            nfe_step != eng.options.nfe_step
+            or cfg_strength != eng.options.cfg_strength
+            or sway_sampling_coef != eng.options.sway_sampling_coef
+        ):
+            eng.options = EngineOptions(
+                nfe_step=nfe_step,
+                cfg_strength=cfg_strength,
+                sway_sampling_coef=sway_sampling_coef,
+                use_epss=eng.options.use_epss,
+                backend=eng.options.backend,
+            )
+
+        out_wav, out_sr, spec = infer_process(
+            eng,
+            (wav, sr),
+            ref_text,
+            gen_text,
+            self.vocab,
+            tokenizer=self.tokenizer,
+            opts=PipelineOptions(
+                target_rms=target_rms,
+                cross_fade_duration=cross_fade_duration,
+                speed=speed,
+                fix_duration=fix_duration,
+                seed=seed,
+            ),
+            show_info=show_info,
+        )
+        if remove_silence and out_wav is not None:
+            from f5_tts_tpu.audio.silence import remove_silence_edges
+
+            out_wav = remove_silence_edges(out_wav, out_sr)
+        if file_wave is not None and out_wav is not None:
+            self.export_wav(out_wav, file_wave)
+        if file_spec is not None and spec is not None:
+            self.export_spectrogram(spec, file_spec)
+        return out_wav, out_sr, spec

@@ -1,0 +1,195 @@
+"""Inference engine: the bucketed, jit-compiled text->waveform graph.
+
+This is the TPU replacement for the reference's TRT-LLM engine + Triton stack
+(runtime/triton_trtllm/): ONE compiled XLA program per (bucket, NFE) contains
+ref-mel extraction consumers, both CFG text-embed streams, the whole NFE Euler
+loop, and the Vocos vocoder — no per-step dispatch, no separate vocoder engine.
+
+Static-shape strategy: target durations are rounded up to a small set of frame
+buckets; every dynamic length (ref frames, total duration) is masked in-graph.
+Noise is drawn per-sample from a folded seed so results are batch-size
+invariant (the property the reference gets via per-sample torch seeding,
+cfm.py:194-201).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5_tts_tpu.models import cfm, dit, vocos
+from f5_tts_tpu.models.configs import ModelConfig
+from f5_tts_tpu.ops.mel import MelConfig, log_mel_prepadded, num_frames, stft_pad_amount
+from f5_tts_tpu.utils.ckpt import params_astype
+
+SILENCE_FLOOR = float(np.log(1e-5))
+
+DEFAULT_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+def pick_bucket(n: int, buckets=DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"duration {n} frames exceeds the largest bucket {buckets[-1]}")
+
+
+@dataclass(frozen=True)
+class EngineOptions:
+    """Static knobs baked into each compiled graph."""
+
+    nfe_step: int = 32
+    cfg_strength: float = 2.0
+    sway_sampling_coef: float | None = -1.0
+    use_epss: bool = True
+    backend: str = "auto"  # attention backend
+
+    def sample_opts(self) -> cfm.SampleOptions:
+        return cfm.SampleOptions(
+            steps=self.nfe_step,
+            cfg_strength=self.cfg_strength,
+            sway_sampling_coef=self.sway_sampling_coef,
+            use_epss=self.use_epss,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "opts", "decode"))
+def _sample_and_decode(
+    dit_params,
+    voc_params,
+    model_cfg: ModelConfig,
+    opts: EngineOptions,
+    cond,  # [b, n, d]
+    text_ids,  # [b, n]
+    lens,  # [b] ref frames
+    duration,  # [b] total frames
+    seeds,  # [b] int32
+    decode: bool = True,
+):
+    b, n, d = cond.shape
+
+    def noise_one(seed):
+        return jax.random.normal(jax.random.PRNGKey(seed), (n, d), dtype=jnp.float32)
+
+    noise = jax.vmap(noise_one)(seeds).astype(cond.dtype)
+    mel_out = cfm.sample(
+        dit_params,
+        model_cfg.arch,
+        cond,
+        text_ids,
+        duration,
+        noise,
+        lens=lens,
+        opts=opts.sample_opts(),
+        backend=opts.backend,
+    )
+    if not decode or voc_params is None:
+        return mel_out, None
+    # roll the generated region to the front per sample, pad tail with the
+    # log-mel silence floor so the vocoder OLA tail stays silent
+    gen_len = duration - lens
+
+    def roll_one(m, shift):
+        return jnp.roll(m, -shift, axis=0)
+
+    gen_mel = jax.vmap(roll_one)(mel_out, lens)
+    keep = jnp.arange(n)[None, :] < gen_len[:, None]
+    gen_mel = jnp.where(keep[..., None], gen_mel, SILENCE_FLOOR)
+    wav = vocos.decode(voc_params, gen_mel.astype(jnp.float32))
+    return mel_out, wav
+
+
+@functools.partial(jax.jit, static_argnames=("mel_cfg",))
+def _ref_mel(wav_padded, mel_cfg: MelConfig):
+    return log_mel_prepadded(wav_padded, mel_cfg)
+
+
+class InferenceEngine:
+    """Holds weights + compiled graphs; exposes batch mel/waveform generation."""
+
+    def __init__(
+        self,
+        dit_params,
+        model_cfg: ModelConfig,
+        vocoder_params=None,
+        dtype=jnp.float32,
+        buckets=DEFAULT_BUCKETS,
+        options: EngineOptions = EngineOptions(),
+    ):
+        self.model_cfg = model_cfg
+        self.dtype = dtype
+        self.buckets = buckets
+        self.options = options
+        self.dit_params = params_astype(dit_params, dtype)
+        self.vocoder_params = vocoder_params  # vocoder runs fp32 (cheap, quality-critical)
+        self.hop = model_cfg.mel.hop_length
+
+    # ------------------------------------------------------------------ mel
+    def ref_mel(self, wav: np.ndarray) -> np.ndarray:
+        """Reference-audio log-mel [n_ref, d], exact parity with the reference
+        center=True mel via host reflect-pad + bucketed frames."""
+        mel_cfg = self.model_cfg.mel
+        pad = stft_pad_amount(mel_cfg)
+        n_ref = num_frames(len(wav), mel_cfg)
+        padded = np.pad(np.asarray(wav, np.float32), pad, mode="reflect")
+        need = (n_ref - 1) * self.hop + mel_cfg.n_fft
+        bucket_samples = pick_bucket(n_ref, self.buckets) * self.hop + mel_cfg.n_fft
+        padded = np.pad(padded, (0, max(0, bucket_samples - len(padded))))[:bucket_samples]
+        assert len(padded) >= need
+        mel = np.asarray(_ref_mel(jnp.asarray(padded[None]), mel_cfg))[0]
+        return mel[:n_ref]
+
+    # ------------------------------------------------------------- generate
+    def generate_batch(
+        self,
+        ref_mels: list[np.ndarray],  # each [n_ref_i, d]
+        text_ids_list: list[np.ndarray],  # each [nt_i]
+        durations: list[int],  # total frames per sample
+        seeds: list[int] | None = None,
+        decode: bool = True,
+    ):
+        """Returns (mels [b, n, d] fp32, wavs list of np arrays trimmed to the
+        generated region, gen_frames list)."""
+        b = len(ref_mels)
+        d = self.model_cfg.mel.n_mel_channels
+        n = pick_bucket(max(durations), self.buckets)
+        cond = np.zeros((b, n, d), np.float32)
+        lens = np.zeros((b,), np.int32)
+        text_ids = np.full((b, n), -1, np.int32)
+        for i, (m, t) in enumerate(zip(ref_mels, text_ids_list)):
+            cond[i, : len(m)] = m
+            lens[i] = len(m)
+            text_ids[i, : min(len(t), n)] = t[:n]
+        duration = np.minimum(np.asarray(durations, np.int32), n)
+        if seeds is None:
+            seeds = list(np.random.randint(0, 2**31 - 1, size=b))
+        mel_out, wav = _sample_and_decode(
+            self.dit_params,
+            self.vocoder_params,
+            self.model_cfg,
+            self.options,
+            jnp.asarray(cond, dtype=self.dtype),
+            jnp.asarray(text_ids),
+            jnp.asarray(lens),
+            jnp.asarray(duration),
+            jnp.asarray(np.asarray(seeds, np.int32)),
+            decode=decode and self.vocoder_params is not None,
+        )
+        mel_np = np.asarray(mel_out, dtype=np.float32)
+        wavs = []
+        gen_frames = [int(dur - ln) for dur, ln in zip(duration, lens)]
+        if wav is not None:
+            wav_np = np.asarray(wav)
+            for i, gf in enumerate(gen_frames):
+                wavs.append(wav_np[i, : max(gf - 1, 0) * self.hop].astype(np.float32))
+        return mel_np, wavs, gen_frames
+
+    def warmup(self, n_frames: int = 1024, text_len: int = 64) -> None:
+        d = self.model_cfg.mel.n_mel_channels
+        ref = np.zeros((n_frames // 4, d), np.float32)
+        txt = np.zeros((text_len,), np.int32)
+        self.generate_batch([ref], [txt], [n_frames - 1], seeds=[0])

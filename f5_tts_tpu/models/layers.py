@@ -62,7 +62,10 @@ def embedding_init(key, num_embeddings: int, dim: int):
 
 
 def embedding(p, ids):
-    return jnp.take(p["weight"], ids, axis=0)
+    # mode="clip": out-of-vocab ids clamp to the last row instead of jit's
+    # default NaN fill (ids must already be valid for parity; this only guards
+    # against silent NaN poisoning on config mismatch)
+    return jnp.take(p["weight"], ids, axis=0, mode="clip")
 
 
 def layer_norm(x, weight=None, bias=None, eps: float = 1e-6):

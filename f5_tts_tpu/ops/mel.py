@@ -134,6 +134,39 @@ def log_mel_spectrogram(wav: jax.Array, cfg: MelConfig = MelConfig()) -> jax.Arr
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 
+def log_mel_prepadded(wav_padded: jax.Array, cfg: MelConfig = MelConfig()) -> jax.Array:
+    """Log-mel for a waveform the HOST has already reflect-padded (center-style)
+    and then zero-extended to a static bucket length.
+
+    This keeps XLA shapes static across reference audios while matching
+    ``log_mel_spectrogram`` exactly on the true-length prefix: the caller pads
+    np.pad(wav, pad, mode="reflect") with pad = n_fft//2 (vocos) or
+    (n_fft-hop)//2 (bigvgan), appends zeros to the bucket, and keeps only the
+    first ``num_frames(true_len)`` output frames.
+    """
+    from f5_tts_tpu.ops.stft import _stft_basis, frame_signal
+
+    if wav_padded.ndim == 1:
+        wav_padded = wav_padded[None]
+    s = cfg.stft
+    cos_m, sin_m = _stft_basis(s.n_fft, s.win_length)
+    cos_m = jnp.asarray(cos_m, dtype=wav_padded.dtype)
+    sin_m = jnp.asarray(sin_m, dtype=wav_padded.dtype)
+    frames = frame_signal(wav_padded, s.n_fft, s.hop_length)
+    re = jnp.einsum("btn,nf->btf", frames, cos_m)
+    im = -jnp.einsum("btn,nf->btf", frames, sin_m)
+    eps = 0.0 if cfg.mel_spec_type == "vocos" else 1e-9
+    mag = jnp.sqrt(re * re + im * im + eps)
+    fb = jnp.asarray(_fbank_for(cfg), dtype=wav_padded.dtype)
+    mel = jnp.einsum("btf,fm->btm", mag, fb)
+    return jnp.log(jnp.clip(mel, min=1e-5))
+
+
+def stft_pad_amount(cfg: MelConfig = MelConfig()) -> int:
+    """Host-side reflect-pad amount matching this config's centering."""
+    return cfg.n_fft // 2 if cfg.mel_spec_type == "vocos" else (cfg.n_fft - cfg.hop_length) // 2
+
+
 def num_frames(num_samples: int, cfg: MelConfig = MelConfig()) -> int:
     """Frame count for a waveform of ``num_samples`` samples."""
     if cfg.mel_spec_type == "vocos":  # center=True
