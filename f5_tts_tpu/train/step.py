@@ -1,0 +1,102 @@
+"""Training step: CFM loss + AdamW + EMA as one pjit-compiled function.
+
+Replaces the reference's HF Accelerate DDP loop body (reference
+model/trainer.py:342-438): grad all-reduce becomes XLA collectives implied by
+the mesh sharding (batch on the ``data`` axis, params replicated or
+tensor-parallel), EMA runs in-graph on every update (the reference uses
+ema_pytorch on rank 0 only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from f5_tts_tpu.models import cfm
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Defaults mirror reference configs/*.yaml optim section + torch AdamW."""
+
+    learning_rate: float = 7.5e-5
+    num_warmup_updates: int = 20_000
+    total_updates: int = 1_000_000
+    max_grad_norm: float = 1.0
+    betas: tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 0.01  # torch AdamW default used by the reference
+    ema_decay: float = 0.9999  # ema_pytorch defaults (trainer.py:107)
+    ema_update_after_step: int = 100
+    ema_update_every: int = 10
+
+
+def lr_schedule(cfg: OptimConfig) -> optax.Schedule:
+    """Linear warmup then linear decay to zero (reference trainer.py:316-326)."""
+    warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.num_warmup_updates)
+    decay = optax.linear_schedule(
+        cfg.learning_rate, 0.0, max(cfg.total_updates - cfg.num_warmup_updates, 1)
+    )
+    return optax.join_schedules([warmup, decay], [cfg.num_warmup_updates])
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            lr_schedule(cfg), b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+
+
+def init_train_state(params, cfg: OptimConfig):
+    """Returns (opt_state, ema_params, step)."""
+    opt = make_optimizer(cfg)
+    return opt.init(params), jax.tree.map(jnp.copy, params), jnp.zeros((), jnp.int32)
+
+
+def ema_update(ema_params, params, step, cfg: OptimConfig):
+    """ema_pytorch semantics: copy online weights until ``update_after_step``,
+    then decay-average every ``update_every`` steps."""
+    do_update = (step % cfg.ema_update_every) == 0
+    started = step > cfg.ema_update_after_step
+    decay = jnp.where(started, cfg.ema_decay, 0.0)
+    decay = jnp.where(do_update, decay, 1.0)
+
+    def upd(e, p):
+        return e * decay.astype(e.dtype) + p.astype(e.dtype) * (1.0 - decay.astype(e.dtype))
+
+    return jax.tree.map(upd, ema_params, params)
+
+
+def train_step(
+    params,
+    opt_state,
+    ema_params,
+    step,
+    batch: dict,  # {"mel": [b,n,d], "text_ids": [b,nt], "lens": [b]}
+    key: jax.Array,
+    arch_cfg,
+    opt_cfg: OptimConfig,
+    backend: str = "auto",
+):
+    """One optimizer update.  Pure function of its inputs -> jit/pjit over a
+    mesh shards it (batch on data axis => gradient all-reduce via XLA)."""
+
+    def loss_fn(p):
+        return cfm.loss(
+            p, arch_cfg, batch["mel"], batch["text_ids"], batch["lens"], key, backend=backend
+        )
+
+    loss_val, grads = jax.value_and_grad(loss_fn)(params)
+    opt = make_optimizer(opt_cfg)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    step = step + 1
+    ema_params = ema_update(ema_params, params, step, opt_cfg)
+    gnorm = optax.global_norm(grads)
+    return params, opt_state, ema_params, step, {"loss": loss_val, "grad_norm": gnorm}
