@@ -24,6 +24,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from f5_tts_tpu.infer.engine import EngineOptions, InferenceEngine
     from f5_tts_tpu.models import dit, vocos
     from f5_tts_tpu.models.configs import MODEL_CONFIGS
@@ -52,7 +55,7 @@ def main():
 
     def run(seed):
         mels, wavs, gen_frames = engine.generate_batch(
-            [ref_mel], [text_ids], [duration], seeds=[seed]
+            [ref_mel], [text_ids], [duration], seeds=[seed], fetch_mel=False
         )
         return wavs[0]
 

@@ -31,7 +31,6 @@ from f5_tts_tpu.infer.pipeline import (
     PipelineOptions,
     infer_process,
 )
-from f5_tts_tpu.models import dit as dit_model
 from f5_tts_tpu.models import vocos as vocos_model
 from f5_tts_tpu.models.configs import MODEL_CONFIGS, ModelConfig, with_vocab_size
 from f5_tts_tpu.text.tokenizer import get_tokenizer
@@ -69,15 +68,18 @@ class F5TTS:
         self.target_sample_rate = model_cfg.mel.target_sample_rate
 
         # DiT weights
+        from f5_tts_tpu.models.backbones import get_backbone
+
+        backbone = get_backbone(model_cfg.arch)
         if ckpt_file:
             if ckpt_file.endswith(".npz"):
-                template = dit_model.init(jax.random.PRNGKey(0), model_cfg.arch)
+                template = backbone.init(jax.random.PRNGKey(0), model_cfg.arch)
                 dit_params = ckpt_util.load_pytree(template, ckpt_file)
             else:
                 state = ckpt_util.load_torch_state(ckpt_file, use_ema=use_ema)
-                dit_params = ckpt_util.dit_params_from_state(state, model_cfg.arch)
+                dit_params = ckpt_util.params_from_state(state, model_cfg.arch)
         elif init_random:
-            dit_params = dit_model.init(jax.random.PRNGKey(0), model_cfg.arch)
+            dit_params = backbone.init(jax.random.PRNGKey(0), model_cfg.arch)
         else:
             raise ValueError(
                 "ckpt_file is required (no-egress build cannot download weights);"

@@ -100,7 +100,10 @@ def _sample_and_decode(
     keep = jnp.arange(n)[None, :] < gen_len[:, None]
     gen_mel = jnp.where(keep[..., None], gen_mel, SILENCE_FLOOR)
     wav = vocos.decode(voc_params, gen_mel.astype(jnp.float32))
-    return mel_out, wav
+    # int16 on the wire: the host<->device link is the serving bottleneck
+    # (reference ships float32 over gRPC; we halve-and-halve the bytes)
+    wav_i16 = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    return mel_out, wav_i16
 
 
 @functools.partial(jax.jit, static_argnames=("mel_cfg",))
@@ -151,6 +154,7 @@ class InferenceEngine:
         durations: list[int],  # total frames per sample
         seeds: list[int] | None = None,
         decode: bool = True,
+        fetch_mel: bool = True,
     ):
         """Returns (mels [b, n, d] fp32, wavs list of np arrays trimmed to the
         generated region, gen_frames list)."""
@@ -179,13 +183,13 @@ class InferenceEngine:
             jnp.asarray(np.asarray(seeds, np.int32)),
             decode=decode and self.vocoder_params is not None,
         )
-        mel_np = np.asarray(mel_out, dtype=np.float32)
+        mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
         wavs = []
         gen_frames = [int(dur - ln) for dur, ln in zip(duration, lens)]
         if wav is not None:
-            wav_np = np.asarray(wav)
+            wav_np = np.asarray(wav).astype(np.float32) / 32767.0
             for i, gf in enumerate(gen_frames):
-                wavs.append(wav_np[i, : max(gf - 1, 0) * self.hop].astype(np.float32))
+                wavs.append(wav_np[i, : max(gf - 1, 0) * self.hop])
         return mel_np, wavs, gen_frames
 
     def warmup(self, n_frames: int = 1024, text_len: int = 64) -> None:

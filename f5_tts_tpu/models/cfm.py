@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from f5_tts_tpu.models import dit
+from f5_tts_tpu.models.backbones import get_backbone
 
 
 # Empirically Pruned Step Sampling tables (reference model/utils.py:205-218),
@@ -105,11 +105,12 @@ def sample(
     duration = jnp.clip(duration, max=n)
     mask = lens_to_mask(duration, n)
 
+    bb = get_backbone(arch_cfg)
     # text embeddings for both CFG streams, computed ONCE (no per-step cache)
-    te_cond = dit.text_embedding(params, arch_cfg, text_ids, n, lens=duration).astype(compute_dtype)
+    te_cond = bb.text_embedding(params, arch_cfg, text_ids, n, lens=duration).astype(compute_dtype)
     use_cfg = opts.cfg_strength >= 1e-5
     if use_cfg:
-        te_uncond = dit.text_embedding(
+        te_uncond = bb.text_embedding(
             params, arch_cfg, text_ids, n, lens=duration, drop_text=True
         ).astype(compute_dtype)
 
@@ -122,12 +123,12 @@ def sample(
         t_k, dt_k = t_dt_k[0], t_dt_k[1]
         time = jnp.broadcast_to(t_k, (b,)).astype(compute_dtype)
         if use_cfg:
-            pred, null = dit.forward_cfg(
+            pred, null = bb.forward_cfg(
                 params, arch_cfg, x, step_cond, te_cond, te_uncond, time, mask=mask, backend=backend
             )
             v = pred + (pred - null) * opts.cfg_strength
         else:
-            v = dit.forward(
+            v = bb.forward(
                 params, arch_cfg, x, step_cond, te_cond, time, mask=mask, backend=backend
             )
         x = x + dt_k.astype(compute_dtype) * v
@@ -167,7 +168,7 @@ def loss(
     audio_drop_prob: float = 0.3,
     cond_drop_prob: float = 0.2,
     frac_lengths_mask=(0.7, 1.0),
-    backend: str = "auto",
+    backend: str = "sdpa",  # flash kernel has no backward yet; training uses XLA SDPA
 ):
     """CFM training loss (cfm.py:231-302): flow-matching MSE over a random
     infilling span, with CFG condition drops.
@@ -198,12 +199,13 @@ def loss(
 
     # traced drops: zero the conditioning inputs (equivalent to the reference's
     # boolean branches in dit.py:106-112, 159-161)
-    te = dit.text_embedding(params, arch_cfg, text_ids, n, lens=None)
-    te_uncond = dit.text_embedding(params, arch_cfg, text_ids, n, lens=None, drop_text=True)
+    bb = get_backbone(arch_cfg)
+    te = bb.text_embedding(params, arch_cfg, text_ids, n, lens=None)
+    te_uncond = bb.text_embedding(params, arch_cfg, text_ids, n, lens=None, drop_text=True)
     te = jnp.where(drop_both, te_uncond.astype(x1.dtype), te.astype(x1.dtype))
     cond_in = jnp.where(drop_audio, 0.0, cond)
 
-    pred = dit.forward(params, arch_cfg, phi, cond_in, te, time, mask=mask, backend=backend)
+    pred = bb.forward(params, arch_cfg, phi, cond_in, te, time, mask=mask, backend=backend)
 
     sq = jnp.square(pred - flow)
     w = rand_span_mask[..., None].astype(jnp.float32)

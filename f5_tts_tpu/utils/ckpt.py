@@ -207,6 +207,84 @@ def dit_params_to_state(params, cfg: DiTConfig, prefix: str = "") -> dict[str, n
 
 
 # ---------------------------------------------------------------------------
+# UNetT (E2-TTS)
+
+
+def unett_params_from_state(state: dict[str, np.ndarray], cfg):
+    """Reference UNetT state dict -> models.unett pytree.  Torch layout:
+    layers.{i}.[0 skip_proj, 1 attn_norm(g), 2 attn, 3 ff_norm(g), 4 ff]
+    (reference backbones/unett.py:149-183)."""
+    if any(k.startswith("transformer.") for k in state):
+        state = {k[len("transformer.") :]: v for k, v in state.items() if k.startswith("transformer.")}
+
+    def attn(prefix):
+        p = {
+            "to_q": _lin(state, f"{prefix}.to_q"),
+            "to_k": _lin(state, f"{prefix}.to_k"),
+            "to_v": _lin(state, f"{prefix}.to_v"),
+            "to_out": _lin(state, f"{prefix}.to_out.0"),
+        }
+        if f"{prefix}.q_norm.weight" in state:
+            p["q_norm"] = {"weight": jnp.asarray(state[f"{prefix}.q_norm.weight"])}
+            p["k_norm"] = {"weight": jnp.asarray(state[f"{prefix}.k_norm.weight"])}
+        return p
+
+    def block(i, with_skip):
+        b = f"layers.{i}"
+        p = {
+            "attn_norm": {"g": jnp.asarray(state[f"{b}.1.g"])},
+            "attn": attn(f"{b}.2"),
+            "ff_norm": {"g": jnp.asarray(state[f"{b}.3.g"])},
+            "ff": {"in": _lin(state, f"{b}.4.ff.0.0"), "out": _lin(state, f"{b}.4.ff.2")},
+        }
+        if with_skip:
+            p["skip_proj"] = {"kernel": jnp.asarray(state[f"{b}.0.weight"].T)}
+        return p
+
+    half = cfg.depth // 2
+    with_skip = cfg.skip_connect_type == "concat"
+    first = [block(i, False) for i in range(half)]
+    second = [block(half + i, with_skip) for i in range(half)]
+
+    text_dim = cfg.text_dim or cfg.mel_dim
+    del text_dim
+    text_p = {"embed": {"weight": jnp.asarray(state["text_embed.text_embed.weight"])}}
+    if cfg.conv_layers > 0:
+        text_p["blocks"] = [
+            _convnext_v2(state, f"text_embed.text_blocks.{i}") for i in range(cfg.conv_layers)
+        ]
+    return {
+        "time_embed": {
+            "mlp1": _lin(state, "time_embed.time_mlp.0"),
+            "mlp2": _lin(state, "time_embed.time_mlp.2"),
+        },
+        "text_embed": text_p,
+        "input_embed": {
+            "proj": _lin(state, "input_embed.proj"),
+            "conv_pos": {
+                "conv1": _conv(state, "input_embed.conv_pos_embed.conv1d.0"),
+                "conv2": _conv(state, "input_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "first": jax.tree.map(lambda *xs: jnp.stack(xs), *first),
+        "second": jax.tree.map(lambda *xs: jnp.stack(xs), *second),
+        "norm_out": {"g": jnp.asarray(state["norm_out.g"])},
+        "proj_out": _lin(state, "proj_out"),
+    }
+
+
+def params_from_state(state: dict[str, np.ndarray], arch_cfg):
+    """Backbone-dispatching converter."""
+    from f5_tts_tpu.models.configs import DiTConfig, UNetTConfig
+
+    if isinstance(arch_cfg, DiTConfig):
+        return dit_params_from_state(state, arch_cfg)
+    if isinstance(arch_cfg, UNetTConfig):
+        return unett_params_from_state(state, arch_cfg)
+    raise ValueError(f"no converter for {type(arch_cfg)}")
+
+
+# ---------------------------------------------------------------------------
 # Vocos
 
 

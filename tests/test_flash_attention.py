@@ -1,0 +1,48 @@
+"""Flash attention kernel vs SDPA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f5_tts_tpu.ops.attention import sdpa
+from f5_tts_tpu.ops import flash_attention as FA
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    # run the Pallas kernel in interpreter mode on CPU
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_matches_sdpa(masked):
+    rng = np.random.default_rng(0)
+    b, h, n, dh = 2, 4, 512, 64
+    q = rng.standard_normal((b, h, n, dh)).astype(np.float32)
+    k = rng.standard_normal((b, h, n, dh)).astype(np.float32)
+    v = rng.standard_normal((b, h, n, dh)).astype(np.float32)
+    mask = None
+    if masked:
+        mask = np.zeros((b, n), bool)
+        mask[0, :n] = True
+        mask[1, :300] = True
+        mask_j = jnp.asarray(mask)
+    else:
+        mask_j = None
+    got = np.asarray(FA.flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask_j))
+    want = np.asarray(sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask_j))
+    if masked:
+        got = got * mask[:, None, :, None]
+        want = want * mask[:, None, :, None]
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-2)
+    assert np.abs(got - want).mean() < 2e-3
+
+
+def test_flash_supported_gating():
+    q = jnp.zeros((1, 2, 512, 64))
+    assert not FA.flash_supported(q) or jax.default_backend() != "cpu"
+    assert FA.flash_supported(jnp.zeros((1, 2, 511, 64))) is False if jax.default_backend() != "cpu" else True
