@@ -162,6 +162,28 @@ def log_mel_prepadded(wav_padded: jax.Array, cfg: MelConfig = MelConfig()) -> ja
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 
+def log_mel_np(wav: np.ndarray, cfg: MelConfig = MelConfig()) -> np.ndarray:
+    """Pure-numpy log-mel (dataloader workers; no device round-trip).
+    Same math as log_mel_spectrogram."""
+    from f5_tts_tpu.ops.stft import _stft_basis
+
+    if wav.ndim == 1:
+        wav = wav[None]
+    s = cfg.stft
+    pad = s.n_fft // 2 if s.center else (s.n_fft - s.hop_length) // 2
+    x = np.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (x.shape[-1] - s.n_fft) // s.hop_length
+    idx = np.arange(n_frames)[:, None] * s.hop_length + np.arange(s.n_fft)[None, :]
+    frames = x[:, idx]
+    cos_m, sin_m = _stft_basis(s.n_fft, s.win_length)
+    re = frames @ cos_m
+    im = -(frames @ sin_m)
+    eps = 0.0 if cfg.mel_spec_type == "vocos" else 1e-9
+    mag = np.sqrt(re * re + im * im + eps)
+    mel = mag @ _fbank_for(cfg)
+    return np.log(np.clip(mel, 1e-5, None)).astype(np.float32)
+
+
 def stft_pad_amount(cfg: MelConfig = MelConfig()) -> int:
     """Host-side reflect-pad amount matching this config's centering."""
     return cfg.n_fft // 2 if cfg.mel_spec_type == "vocos" else (cfg.n_fft - cfg.hop_length) // 2

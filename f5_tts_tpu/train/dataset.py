@@ -1,0 +1,169 @@
+"""Training datasets + frame-budget dynamic batching.
+
+Rebuild of reference src/f5_tts/model/dataset.py: arrow-backed rows
+{audio_path, text, duration}, on-the-fly (or preprocessed) mel, 0.3-30 s
+duration filter, and the DynamicBatchSampler (sort by frame length, pack to a
+frames-per-batch budget, epoch-seeded shuffle of BATCHES).
+
+TPU-first addition: ``pad_frames_to`` buckets every batch's padded length to a
+multiple (default 256 frames) so the jitted train step sees a small set of
+static shapes instead of one shape per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from f5_tts_tpu.audio.io import load_wav, resample
+from f5_tts_tpu.ops.mel import MelConfig, log_mel_np
+
+
+class CustomDataset:
+    """Rows: dict(audio_path, text, duration[s]) or dict(mel_spec, text)."""
+
+    def __init__(
+        self,
+        data,  # indexable rows
+        durations: list[float] | None = None,
+        mel_cfg: MelConfig = MelConfig(),
+        preprocessed_mel: bool = False,
+        duration_filter=(0.3, 30.0),
+    ):
+        self.data = data
+        self.durations = durations
+        self.mel_cfg = mel_cfg
+        self.preprocessed_mel = preprocessed_mel
+        self.duration_filter = duration_filter
+
+    def get_frame_len(self, index: int) -> float:
+        dur = self.durations[index] if self.durations is not None else self.data[index]["duration"]
+        return dur * self.mel_cfg.target_sample_rate / self.mel_cfg.hop_length
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, index: int) -> dict:
+        lo, hi = self.duration_filter
+        while True:
+            row = self.data[index]
+            if self.preprocessed_mel or lo <= row["duration"] <= hi:
+                break
+            index = (index + 1) % len(self.data)  # probe next (reference :129-140)
+        if self.preprocessed_mel:
+            mel = np.asarray(row["mel_spec"], dtype=np.float32)
+            if mel.shape[0] == self.mel_cfg.n_mel_channels:  # [d, n] -> [n, d]
+                mel = mel.T
+        else:
+            wav, sr = load_wav(row["audio_path"])
+            if sr != self.mel_cfg.target_sample_rate:
+                wav = resample(wav, sr, self.mel_cfg.target_sample_rate)
+            mel = log_mel_np(wav, self.mel_cfg)[0]  # [n, d]
+        return {"mel": mel, "text": row["text"]}
+
+
+class DynamicBatchSampler:
+    """Reference dataset.py:170-241: sort all indices by frame length, pack
+    greedily under ``frames_threshold`` (and ``max_samples``), shuffle the
+    BATCH list with seed+epoch."""
+
+    def __init__(
+        self,
+        dataset,
+        frames_threshold: int,
+        max_samples: int = 0,
+        random_seed: int | None = None,
+        drop_residual: bool = False,
+    ):
+        self.frames_threshold = frames_threshold
+        self.max_samples = max_samples
+        self.random_seed = random_seed
+        self.epoch = 0
+
+        indices = sorted(range(len(dataset)), key=lambda i: dataset.get_frame_len(i))
+        batches, batch, batch_frames = [], [], 0.0
+        for idx in indices:
+            frame_len = dataset.get_frame_len(idx)
+            if batch_frames + frame_len <= frames_threshold and (
+                max_samples == 0 or len(batch) < max_samples
+            ):
+                batch.append(idx)
+                batch_frames += frame_len
+            else:
+                if batch:
+                    batches.append(batch)
+                if frame_len <= frames_threshold:
+                    batch, batch_frames = [idx], frame_len
+                else:
+                    batch, batch_frames = [], 0.0
+        if not drop_residual and batch:
+            batches.append(batch)
+        self.batches = batches
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self):
+        if self.random_seed is not None:
+            g = np.random.default_rng(self.random_seed + self.epoch)
+            order = g.permutation(len(self.batches))
+            return iter([self.batches[i] for i in order])
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def pad_frames_to(n: int, multiple: int = 256) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def collate_batch(items: list[dict], vocab, tokenizer: str, frame_multiple: int = 256) -> dict:
+    """Pad mels to a bucketed max length and tokenize texts.
+    Returns {"mel" [b,n,d], "text_ids" [b,nt], "lens" [b]} as numpy."""
+    from f5_tts_tpu.infer.pipeline import text_to_ids
+
+    lens = np.asarray([it["mel"].shape[0] for it in items], np.int32)
+    n = pad_frames_to(int(lens.max()), frame_multiple)
+    d = items[0]["mel"].shape[1]
+    mel = np.zeros((len(items), n, d), np.float32)
+    for i, it in enumerate(items):
+        mel[i, : lens[i]] = it["mel"]
+    ids = text_to_ids([it["text"] for it in items], vocab, tokenizer)
+    # pad text to a stable width too (text <= frames always holds downstream)
+    nt = pad_frames_to(ids.shape[1], 64)
+    ids = np.pad(ids, ((0, 0), (0, nt - ids.shape[1])), constant_values=-1)
+    return {"mel": mel, "text_ids": ids, "lens": lens}
+
+
+def load_dataset(
+    dataset_name: str,
+    tokenizer: str = "pinyin",
+    dataset_type: str = "CustomDataset",
+    audio_type: str = "raw",
+    mel_cfg: MelConfig = MelConfig(),
+    data_root: str = "data",
+) -> CustomDataset:
+    """Reference load_dataset (dataset.py:247-307): reads
+    data/<name>_<tokenizer>/raw.arrow + duration.json."""
+    from datasets import Dataset as ArrowDataset
+    from datasets import load_from_disk
+
+    if dataset_type == "CustomDataset":
+        path = os.path.join(data_root, f"{dataset_name}_{tokenizer}")
+    elif dataset_type == "CustomDatasetPath":
+        path = dataset_name
+    else:
+        raise ValueError(f"unsupported dataset_type {dataset_type}")
+    arrow = os.path.join(path, "mel.arrow" if audio_type == "mel" else "raw.arrow")
+    if os.path.isfile(arrow):
+        data = ArrowDataset.from_file(arrow)
+    else:
+        data = load_from_disk(os.path.join(path, "raw"))
+    with open(os.path.join(path, "duration.json"), "r", encoding="utf-8") as f:
+        durations = json.load(f)["duration"]
+    return CustomDataset(
+        data, durations=durations, mel_cfg=mel_cfg, preprocessed_mel=(audio_type == "mel")
+    )

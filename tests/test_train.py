@@ -1,0 +1,110 @@
+"""Training stack tests: sampler packing, collate bucketing, full trainer loop
+with checkpoint save/resume on a tiny model + synthetic dataset."""
+
+import numpy as np
+import jax
+import pytest
+
+from f5_tts_tpu.models import dit as D
+from f5_tts_tpu.models.configs import DiTConfig, MelConfig, ModelConfig
+from f5_tts_tpu.train.dataset import CustomDataset, DynamicBatchSampler, collate_batch
+from f5_tts_tpu.train.step import OptimConfig
+from f5_tts_tpu.train.trainer import Trainer
+
+
+class SynthRows:
+    """Synthetic preprocessed-mel rows."""
+
+    def __init__(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        self.rows = [
+            {
+                "mel_spec": rng.standard_normal((int(rng.integers(40, 120)), 16)).astype(np.float32),
+                "text": "hello world",
+                "duration": 1.0,
+            }
+            for _ in range(n)
+        ]
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, i):
+        return self.rows[i]
+
+
+def make_dataset(n=24):
+    mel_cfg = MelConfig(n_mel_channels=16)
+    rows = SynthRows(n)
+    ds = CustomDataset(rows, durations=[r["mel_spec"].shape[0] * 256 / 24000 for r in rows.rows],
+                       mel_cfg=mel_cfg, preprocessed_mel=True)
+    return ds
+
+
+def test_dynamic_batch_sampler_packs_under_budget():
+    ds = make_dataset(32)
+    sampler = DynamicBatchSampler(ds, frames_threshold=300, max_samples=4, random_seed=1)
+    seen = set()
+    for batch in sampler:
+        assert 1 <= len(batch) <= 4
+        total = sum(ds.get_frame_len(i) for i in batch)
+        assert total <= 300 + 1e-6
+        seen.update(batch)
+    # shuffle differs by epoch but content is stable
+    order0 = list(iter(sampler))
+    sampler.set_epoch(1)
+    order1 = list(iter(sampler))
+    assert sorted(map(tuple, order0)) == sorted(map(tuple, order1))
+    assert order0 != order1
+
+
+def test_collate_bucketing():
+    ds = make_dataset(6)
+    items = [ds[i] for i in range(4)]
+    batch = collate_batch(items, None, "byte", frame_multiple=64)
+    assert batch["mel"].shape[1] % 64 == 0
+    assert batch["mel"].shape[0] == 4
+    assert batch["text_ids"].shape[1] % 64 == 0
+    assert (batch["lens"] <= batch["mel"].shape[1]).all()
+
+
+@pytest.mark.slow
+def test_trainer_loop_and_resume(tmp_path):
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16), tokenizer="byte")
+    ds = make_dataset(12)
+    opt_cfg = OptimConfig(num_warmup_updates=2, total_updates=50)
+    trainer = Trainer(model_cfg, None, opt_cfg, ckpt_dir=str(tmp_path / "ck"),
+                      batch_size_per_device=400, max_samples=4,
+                      save_per_updates=100, last_per_updates=2, seed=0)
+    params = D.init(jax.random.PRNGKey(0), arch)
+    p1, ema1, upd1 = trainer.train(params, ds, epochs=1, resume=False)
+    assert upd1 == len(DynamicBatchSampler(ds, 400, 4, 0))
+    # metrics logged
+    lines = open(trainer.log_file).read().strip().splitlines()
+    assert len(lines) >= 1
+
+    # resume: fresh params, should restore from model_last
+    trainer2 = Trainer(model_cfg, None, opt_cfg, ckpt_dir=str(tmp_path / "ck"),
+                       batch_size_per_device=400, max_samples=4,
+                       save_per_updates=100, last_per_updates=2, seed=0)
+    params_fresh = D.init(jax.random.PRNGKey(42), arch)
+    p2, ema2, upd2 = trainer2.train(params_fresh, ds, epochs=1, resume=True)
+    assert upd2 == upd1  # nothing left to do in epoch 0 -> restored and returned
+
+
+def test_trainer_loop_with_mesh(tmp_path):
+    from f5_tts_tpu.parallel.mesh import make_mesh
+
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16), tokenizer="byte")
+    ds = make_dataset(8)
+    mesh = make_mesh(data=4, model=1)
+    trainer = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=20),
+                      ckpt_dir=str(tmp_path / "ckm"), batch_size_per_device=400, max_samples=4,
+                      save_per_updates=1000, last_per_updates=1000, seed=0, mesh=mesh)
+    params = D.init(jax.random.PRNGKey(0), arch)
+    p, ema, upd = trainer.train(params, ds, epochs=1, resume=False)
+    assert upd >= 1
