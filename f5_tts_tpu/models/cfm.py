@@ -119,17 +119,23 @@ def sample(
     ts = timestep_schedule(opts.steps, opts.sway_sampling_coef, opts.use_epss, opts.t_start)
     t_dt = jnp.stack([ts[:-1], ts[1:] - ts[:-1]], axis=1)  # [steps, 2]
 
+    # MMDiT keeps text as its own stream and needs the text validity mask
+    extra = {}
+    if getattr(arch_cfg, "backbone", "") == "MMDiT":
+        extra["c_mask"] = text_ids != -1
+
     def ode_step(x, t_dt_k):
         t_k, dt_k = t_dt_k[0], t_dt_k[1]
         time = jnp.broadcast_to(t_k, (b,)).astype(compute_dtype)
         if use_cfg:
             pred, null = bb.forward_cfg(
-                params, arch_cfg, x, step_cond, te_cond, te_uncond, time, mask=mask, backend=backend
+                params, arch_cfg, x, step_cond, te_cond, te_uncond, time, mask=mask,
+                backend=backend, **extra
             )
             v = pred + (pred - null) * opts.cfg_strength
         else:
             v = bb.forward(
-                params, arch_cfg, x, step_cond, te_cond, time, mask=mask, backend=backend
+                params, arch_cfg, x, step_cond, te_cond, time, mask=mask, backend=backend, **extra
             )
         x = x + dt_k.astype(compute_dtype) * v
         return x, (x if return_trajectory else None)
