@@ -86,16 +86,31 @@ class F5TTS:
                 " pass init_random=True for smoke testing."
             )
 
-        # vocoder weights
+        # vocoder weights (backend from the model's mel_spec_type)
+        vocoder_type = model_cfg.mel.mel_spec_type
         if vocoder_local_path:
-            if vocoder_local_path.endswith(".npz"):
+            if vocoder_type == "bigvgan":
+                from f5_tts_tpu.models import bigvgan as bigvgan_model
+
+                if vocoder_local_path.endswith(".npz"):
+                    template = bigvgan_model.init(jax.random.PRNGKey(0))
+                    voc_params = ckpt_util.load_pytree(template, vocoder_local_path)
+                else:
+                    vstate = ckpt_util.load_torch_state(vocoder_local_path, use_ema=False)
+                    voc_params = ckpt_util.bigvgan_params_from_state(vstate)
+            elif vocoder_local_path.endswith(".npz"):
                 template = vocos_model.init(jax.random.PRNGKey(0))
                 voc_params = ckpt_util.load_pytree(template, vocoder_local_path)
             else:
                 vstate = ckpt_util.load_torch_state(vocoder_local_path, use_ema=False)
                 voc_params = ckpt_util.vocos_params_from_state(vstate)
         elif init_random:
-            voc_params = vocos_model.init(jax.random.PRNGKey(1))
+            if vocoder_type == "bigvgan":
+                from f5_tts_tpu.models import bigvgan as bigvgan_model
+
+                voc_params = bigvgan_model.init(jax.random.PRNGKey(1))
+            else:
+                voc_params = vocos_model.init(jax.random.PRNGKey(1))
         else:
             voc_params = None
 

@@ -57,7 +57,7 @@ class EngineOptions:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("model_cfg", "opts", "decode"))
+@functools.partial(jax.jit, static_argnames=("model_cfg", "opts", "decode", "vocoder_type"))
 def _sample_and_decode(
     dit_params,
     voc_params,
@@ -69,6 +69,7 @@ def _sample_and_decode(
     duration,  # [b] total frames
     seeds,  # [b] int32
     decode: bool = True,
+    vocoder_type: str = "vocos",
 ):
     b, n, d = cond.shape
 
@@ -99,7 +100,12 @@ def _sample_and_decode(
     gen_mel = jax.vmap(roll_one)(mel_out, lens)
     keep = jnp.arange(n)[None, :] < gen_len[:, None]
     gen_mel = jnp.where(keep[..., None], gen_mel, SILENCE_FLOOR)
-    wav = vocos.decode(voc_params, gen_mel.astype(jnp.float32))
+    if vocoder_type == "bigvgan":
+        from f5_tts_tpu.models import bigvgan
+
+        wav = bigvgan.decode(voc_params, gen_mel.astype(jnp.float32))
+    else:
+        wav = vocos.decode(voc_params, gen_mel.astype(jnp.float32))
     # int16 on the wire: the host<->device link is the serving bottleneck
     # (reference ships float32 over gRPC; we halve-and-halve the bytes)
     wav_i16 = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
@@ -122,6 +128,7 @@ class InferenceEngine:
         dtype=jnp.float32,
         buckets=DEFAULT_BUCKETS,
         options: EngineOptions = EngineOptions(),
+        vocoder_type: str | None = None,
     ):
         self.model_cfg = model_cfg
         self.dtype = dtype
@@ -129,6 +136,7 @@ class InferenceEngine:
         self.options = options
         self.dit_params = params_astype(dit_params, dtype)
         self.vocoder_params = vocoder_params  # vocoder runs fp32 (cheap, quality-critical)
+        self.vocoder_type = vocoder_type or model_cfg.mel.mel_spec_type
         self.hop = model_cfg.mel.hop_length
 
     # ------------------------------------------------------------------ mel
@@ -182,6 +190,7 @@ class InferenceEngine:
             jnp.asarray(duration),
             jnp.asarray(np.asarray(seeds, np.int32)),
             decode=decode and self.vocoder_params is not None,
+            vocoder_type=self.vocoder_type,
         )
         mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
         wavs = []
@@ -189,7 +198,9 @@ class InferenceEngine:
         if wav is not None:
             wav_np = np.asarray(wav).astype(np.float32) / 32767.0
             for i, gf in enumerate(gen_frames):
-                wavs.append(wav_np[i, : max(gf - 1, 0) * self.hop])
+                # vocos istft yields (n-1)*hop samples for n frames; bigvgan n*hop
+                n_samp = max(gf - 1, 0) * self.hop if self.vocoder_type == "vocos" else gf * self.hop
+                wavs.append(wav_np[i, :n_samp])
         return mel_np, wavs, gen_frames
 
     def warmup(self, n_frames: int = 1024, text_len: int = 64) -> None:

@@ -312,6 +312,70 @@ def vocos_params_from_state(state: dict[str, np.ndarray], num_layers: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# BigVGAN
+
+
+def _fused_weight(state: dict, name: str) -> np.ndarray:
+    """Fuse torch weight_norm (weight_g/weight_v, dim=0) if present."""
+    if f"{name}.weight" in state:
+        return state[f"{name}.weight"]
+    v = state[f"{name}.weight_v"]
+    g = state[f"{name}.weight_g"]
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def bigvgan_params_from_state(state: dict[str, np.ndarray], cfg=None):
+    """nvidia/bigvgan_v2_* generator state dict -> models.bigvgan pytree.
+    Handles weight-norm (weight_g/weight_v) checkpoints (pre remove_weight_norm)."""
+    from f5_tts_tpu.models.bigvgan import BigVGANConfig
+
+    cfg = cfg or BigVGANConfig()
+
+    def conv(name):
+        w = _fused_weight(state, name)  # [out, in, k]
+        p = {"kernel": jnp.asarray(np.transpose(w, (2, 1, 0)))}
+        if f"{name}.bias" in state:
+            p["bias"] = jnp.asarray(state[f"{name}.bias"])
+        return p
+
+    def convT(name):
+        w = _fused_weight(state, name)  # torch ConvTranspose1d: [in, out, k]
+        p = {"kernel": jnp.asarray(np.transpose(w, (2, 1, 0)))}  # [k, out, in]
+        if f"{name}.bias" in state:
+            p["bias"] = jnp.asarray(state[f"{name}.bias"])
+        return p
+
+    n_res = len(cfg.resblock_kernel_sizes)
+    params = {"conv_pre": conv("conv_pre")}
+    ups, resblocks = [], []
+    for i in range(len(cfg.upsample_rates)):
+        ups.append(convT(f"ups.{i}.0"))
+        stage = []
+        for j in range(n_res):
+            r = f"resblocks.{i * n_res + j}"
+            n_d = len(cfg.resblock_dilation_sizes[j])
+            stage.append({
+                "convs1": [conv(f"{r}.convs1.{m}") for m in range(n_d)],
+                "convs2": [conv(f"{r}.convs2.{m}") for m in range(n_d)],
+                "alpha": jnp.stack([
+                    jnp.asarray(state[f"{r}.activations.{m}.act.alpha"]) for m in range(2 * n_d)
+                ]),
+                "beta": jnp.stack([
+                    jnp.asarray(state[f"{r}.activations.{m}.act.beta"]) for m in range(2 * n_d)
+                ]),
+            })
+        resblocks.append(stage)
+    params["ups"] = ups
+    params["resblocks"] = resblocks
+    params["post_alpha"] = jnp.asarray(state["activation_post.act.alpha"])
+    params["post_beta"] = jnp.asarray(state["activation_post.act.beta"])
+    params["conv_post"] = conv("conv_post")
+    return params
+
+
+# ---------------------------------------------------------------------------
 # native (JAX-side) snapshots
 
 
