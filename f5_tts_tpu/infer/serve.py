@@ -1,0 +1,152 @@
+"""Batched multi-utterance serving: data-parallel sharding over the ICI mesh.
+
+BASELINE config 5: the 26-prompt benchmark set sharded over ICI, batch >= 8.
+The reference serves via Triton dynamic batching + per-GPU engines
+(runtime/triton_trtllm/config.pbtxt, client_grpc.py); here one jitted graph
+runs a [B, n, d] batch with B sharded on the mesh ``data`` axis — XLA splits
+the batch across chips, no collectives needed in the forward (pure DP).
+
+Also provides the RTF/latency report in the reference benchmark's format
+(benchmark.py:454-468, client_grpc.py:425-447).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from f5_tts_tpu.infer.engine import InferenceEngine, pick_bucket
+from f5_tts_tpu.parallel.mesh import DATA_AXIS
+
+
+@dataclass
+class Request:
+    ref_mel: np.ndarray  # [n_ref, d]
+    text_ids: np.ndarray  # [nt]
+    duration: int  # total frames
+    seed: int = 0
+
+
+class BatchServer:
+    """Groups requests into fixed-size DP-sharded batches and runs the engine.
+
+    Requests are bucketed by duration (like the reference eval's
+    get_inference_prompt bucketing, utils_eval.py:72-205) so one graph serves
+    each (batch, bucket) pair.
+    """
+
+    def __init__(self, engine: InferenceEngine, mesh=None, batch_size: int = 8):
+        self.engine = engine
+        self.mesh = mesh
+        self.batch_size = batch_size
+        if mesh is not None:
+            dp = mesh.shape[DATA_AXIS]
+            assert batch_size % dp == 0, f"batch {batch_size} must divide over data axis {dp}"
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            self._replicated = NamedSharding(mesh, P())
+            self.engine.dit_params = jax.device_put(self.engine.dit_params, self._replicated)
+            if self.engine.vocoder_params is not None:
+                self.engine.vocoder_params = jax.device_put(self.engine.vocoder_params, self._replicated)
+
+    def _put(self, arr):
+        if self.mesh is None:
+            return arr
+        return jax.device_put(arr, self._batch_sharding)
+
+    def run(self, requests: list[Request], fetch_mel: bool = False):
+        """Processes all requests; returns (wavs, per_batch_latencies)."""
+        order = sorted(range(len(requests)), key=lambda i: requests[i].duration)
+        wavs: dict[int, np.ndarray] = {}
+        latencies = []
+        eng = self.engine
+        B = self.batch_size
+        ctx = self.mesh or _nullcontext()
+        with ctx:
+            for s in range(0, len(order), B):
+                grp = order[s : s + B]
+                reqs = [requests[i] for i in grp]
+                pad = B - len(reqs)
+                reqs = reqs + [reqs[-1]] * pad  # pad batch with a repeat
+                t0 = time.perf_counter()
+                if self.mesh is not None:
+                    mels, ws, gf = self._run_sharded(reqs)
+                else:
+                    mels, ws, gf = eng.generate_batch(
+                        [r.ref_mel for r in reqs], [r.text_ids for r in reqs],
+                        [r.duration for r in reqs], seeds=[r.seed for r in reqs],
+                        fetch_mel=fetch_mel,
+                    )
+                latencies.append(time.perf_counter() - t0)
+                for j, i in enumerate(grp):
+                    wavs[i] = ws[j]
+        return [wavs[i] for i in range(len(requests))], latencies
+
+    def _run_sharded(self, reqs: list[Request]):
+        """generate_batch with inputs placed on the mesh (batch on data axis)."""
+        import jax.numpy as jnp
+
+        from f5_tts_tpu.infer.engine import _sample_and_decode
+
+        eng = self.engine
+        d = eng.model_cfg.mel.n_mel_channels
+        n = pick_bucket(max(r.duration for r in reqs), eng.buckets)
+        b = len(reqs)
+        cond = np.zeros((b, n, d), np.float32)
+        lens = np.zeros((b,), np.int32)
+        text_ids = np.full((b, n), -1, np.int32)
+        for i, r in enumerate(reqs):
+            cond[i, : len(r.ref_mel)] = r.ref_mel
+            lens[i] = len(r.ref_mel)
+            t = r.text_ids[: n]
+            text_ids[i, : len(t)] = t
+        duration = np.minimum(np.asarray([r.duration for r in reqs], np.int32), n)
+        seeds = np.asarray([r.seed for r in reqs], np.int32)
+        mel_out, wav = _sample_and_decode(
+            eng.dit_params, eng.vocoder_params, eng.model_cfg, eng.options,
+            self._put(jnp.asarray(cond, dtype=eng.dtype)),
+            self._put(jnp.asarray(text_ids)),
+            self._put(jnp.asarray(lens)),
+            self._put(jnp.asarray(duration)),
+            self._put(jnp.asarray(seeds)),
+            decode=eng.vocoder_params is not None,
+            vocoder_type=eng.vocoder_type,
+        )
+        gen_frames = [int(dur - ln) for dur, ln in zip(duration, lens)]
+        wavs = []
+        if wav is not None:
+            wav_np = np.asarray(wav).astype(np.float32) / 32767.0
+            for i, gf in enumerate(gen_frames):
+                n_samp = max(gf - 1, 0) * eng.hop if eng.vocoder_type == "vocos" else gf * eng.hop
+                wavs.append(wav_np[i, :n_samp])
+        return None, wavs, gen_frames
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def rtf_report(wavs: list[np.ndarray], latencies: list[float], sample_rate: int = 24_000) -> dict:
+    """Reference-format report: RTF = total wall / total audio seconds,
+    latency mean + p50/90/95/99 (benchmark.py:454-468, client_grpc.py:425-447)."""
+    total_audio = sum(len(w) for w in wavs) / sample_rate
+    total_wall = sum(latencies)
+    lat_ms = np.asarray(latencies) * 1000.0
+    return {
+        "total_audio_s": total_audio,
+        "total_wall_s": total_wall,
+        "rtf": total_wall / max(total_audio, 1e-9),
+        "latency_ms_mean": float(lat_ms.mean()),
+        "latency_ms_p50": float(np.percentile(lat_ms, 50)),
+        "latency_ms_p90": float(np.percentile(lat_ms, 90)),
+        "latency_ms_p95": float(np.percentile(lat_ms, 95)),
+        "latency_ms_p99": float(np.percentile(lat_ms, 99)),
+    }

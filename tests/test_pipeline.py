@@ -131,3 +131,28 @@ def test_tokenizer_vocab_and_ids():
     assert ids[1, 1] == -1  # padding
     byte_ids = tokens_to_ids(["ab"], None)
     assert byte_ids.tolist() == [[97, 98]]
+
+
+def test_speech_edit(tmp_path):
+    from f5_tts_tpu.audio.io import save_wav
+    from f5_tts_tpu.infer.speech_edit import edit_speech
+    from f5_tts_tpu.models import vocos as V
+    from f5_tts_tpu.text.tokenizer import get_tokenizer
+
+    cfg, params, _, _ = tiny_model()
+    eng = InferenceEngine(params, cfg, vocoder_params=V.init(jax.random.PRNGKey(9), V.VocosConfig()),
+                          options=EngineOptions(nfe_step=2))
+    sr = 24000
+    t = np.arange(sr * 2) / sr
+    wav = (0.2 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    path = str(tmp_path / "edit_src.wav")
+    save_wav(path, wav, sr)
+    vocab, _ = get_tokenizer(None, "char")
+    out, out_sr = edit_speech(
+        eng, vocab, "char", path,
+        original_text="a tone that goes on.",
+        target_text="a tone that stops now.",
+        parts_to_edit=[(0.5, 1.0)],
+        seed=1,
+    )
+    assert out_sr == sr and len(out) > 1000 and np.isfinite(out).all()
