@@ -108,3 +108,28 @@ def test_trainer_loop_with_mesh(tmp_path):
     params = D.init(jax.random.PRNGKey(0), arch)
     p, ema, upd = trainer.train(params, ds, epochs=1, resume=False)
     assert upd >= 1
+
+
+def test_prepare_csv_wavs_roundtrip(tmp_path):
+    from f5_tts_tpu.audio.io import save_wav
+    from f5_tts_tpu.train.datasets.prepare_csv_wavs import prepare
+    from f5_tts_tpu.train.dataset import load_dataset
+
+    sr = 24000
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    lines = ["audio_file|text"]
+    for i in range(3):
+        path = str(wav_dir / f"a{i}.wav")
+        save_wav(path, 0.1 * np.sin(np.arange(sr) / 50.0), sr)
+        lines.append(f"{path}|hello number {i}")
+    csv_path = tmp_path / "meta.csv"
+    csv_path.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "ds"
+    prepare(str(csv_path), str(out), pretrain=False, pinyin=False)
+    assert (out / "raw.arrow").is_file()
+    assert (out / "vocab.txt").read_text(encoding="utf-8").startswith(" \n")
+    ds = load_dataset(str(out), dataset_type="CustomDatasetPath")
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["mel"].shape[1] == 100 and item["text"].startswith("hello")
