@@ -87,12 +87,11 @@ def _pinyin_seg(seg: str) -> list[str]:
 
 
 def _segment(text: str) -> list[str]:
-    try:
-        import jieba
+    # native C++ segmenter (rjieba-equivalent, HMM disabled); falls back to
+    # python jieba / passthrough internally
+    from f5_tts_tpu.text.segmenter import cut
 
-        return list(jieba.cut(text))
-    except ImportError:
-        return [text]
+    return cut(text)
 
 
 def convert_char_to_pinyin(text_list: list[str], polyphone: bool = True) -> list[list[str]]:
