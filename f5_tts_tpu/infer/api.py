@@ -124,9 +124,14 @@ class F5TTS:
 
     # surface parity: reference api.py:86-96
     def transcribe(self, ref_audio, language=None):
-        raise NotImplementedError(
-            "ASR transcription needs a local Whisper model; pass ref_text explicitly"
-        )
+        from f5_tts_tpu.audio.asr import make_whisper_transcriber
+
+        fn = make_whisper_transcriber(language=language)
+        if isinstance(ref_audio, str):
+            wav, sr = load_wav(ref_audio)
+        else:
+            wav, sr = ref_audio
+        return fn(wav, sr)
 
     def export_wav(self, wav, file_wave, remove_silence=False):
         save_wav(file_wave, wav, self.target_sample_rate)
@@ -166,7 +171,17 @@ class F5TTS:
             seed = random.randint(0, sys.maxsize) % (2**31 - 1)
         self.seed = seed
 
-        (wav, sr), ref_text = preprocess_ref_audio_text(ref_file, ref_text, show_info=show_info)
+        transcribe_fn = None
+        if not ref_text.strip():
+            import os as _os
+
+            if _os.environ.get("F5_TTS_TPU_WHISPER"):
+                from f5_tts_tpu.audio.asr import make_whisper_transcriber
+
+                transcribe_fn = make_whisper_transcriber()
+        (wav, sr), ref_text = preprocess_ref_audio_text(
+            ref_file, ref_text, show_info=show_info, transcribe_fn=transcribe_fn
+        )
 
         eng = self.engine
         if (

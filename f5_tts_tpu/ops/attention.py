@@ -36,6 +36,50 @@ def sdpa(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def chunked_attention(
+    q: jax.Array,  # [b, h, n, d]
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,  # [b, n] bool keep-mask
+    chunk: int = 512,
+) -> jax.Array:
+    """Memory-efficient attention: online softmax over key chunks via lax.scan.
+
+    Never materializes the [n, n] score matrix (peak activation O(n*chunk)), and
+    is fully differentiable — autodiff through the scan yields the
+    flash-style recomputing backward.  Used for TRAINING long sequences (the
+    Pallas flash kernel has no backward); numerically matches sdpa.
+    """
+    b, h, n, d = q.shape
+    scale = d**-0.5
+    if n % chunk != 0:
+        return sdpa(q, k, v, mask)
+    kc = k.reshape(b, h, n // chunk, chunk, d).transpose(2, 0, 1, 3, 4)
+    vc = v.reshape(b, h, n // chunk, chunk, d).transpose(2, 0, 1, 3, 4)
+    if mask is not None:
+        mc = mask.reshape(b, n // chunk, chunk).transpose(1, 0, 2)
+    else:
+        mc = jnp.ones((n // chunk, b, chunk), bool)
+
+    def body(carry, inp):
+        m_run, l_run, acc = carry
+        k_j, v_j, mask_j = inp
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_j).astype(jnp.float32) * scale
+        s = jnp.where(mask_j[:, None, None, :], s, NEG_INF)
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_run - m_new)
+        l_new = l_run * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_j.dtype), v_j).astype(jnp.float32)
+        return (m_new, l_new, acc), None
+
+    m0 = jnp.full((b, h, n, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, n, 1), jnp.float32)
+    a0 = jnp.zeros((b, h, n, d), jnp.float32)
+    (m_f, l_f, acc), _ = jax.lax.scan(body, (m0, l0, a0), (kc, vc, mc))
+    return (acc / jnp.maximum(l_f, 1e-30)).astype(q.dtype)
+
+
 def attention(q, k, v, mask=None, backend: str = "auto"):
     """Dispatch between XLA SDPA and the Pallas flash kernel.
 
@@ -43,6 +87,8 @@ def attention(q, k, v, mask=None, backend: str = "auto"):
     """
     if backend == "sdpa":
         return sdpa(q, k, v, mask)
+    if backend == "chunked":
+        return chunked_attention(q, k, v, mask)
     if backend in ("flash", "auto"):
         try:
             from f5_tts_tpu.ops.flash_attention import flash_attention, flash_supported

@@ -57,11 +57,24 @@ class CustomDataset:
             if mel.shape[0] == self.mel_cfg.n_mel_channels:  # [d, n] -> [n, d]
                 mel = mel.T
         else:
-            wav, sr = load_wav(row["audio_path"])
+            wav, sr = self._load(row["audio_path"])
             if sr != self.mel_cfg.target_sample_rate:
                 wav = resample(wav, sr, self.mel_cfg.target_sample_rate)
             mel = log_mel_np(wav, self.mel_cfg)[0]  # [n, d]
         return {"mel": mel, "text": row["text"]}
+
+    @staticmethod
+    def _load(path: str):
+        """Prefer the native C++ decoder (off-GIL, threaded-friendly)."""
+        try:
+            from f5_tts_tpu.audio.native_loader import load_wav_mono
+
+            out = load_wav_mono(path)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+        return load_wav(path)
 
 
 class DynamicBatchSampler:

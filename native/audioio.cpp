@@ -1,0 +1,212 @@
+// Native audio loader — C++ replacement for the torchaudio C++ decode/resample
+// path the reference leans on in its DataLoader workers (reference
+// model/dataset.py:142-161).  WAV (PCM 16/24/32, float32) decode to mono +
+// kaiser-windowed-sinc polyphase resampling, batched over a thread pool so
+// dataset preparation and training input pipelines aren't GIL-bound.
+//
+// C API (ctypes):
+//   long wav_read_mono(const char* path, float* out, long max_len, int* sr);
+//       -> samples written, or -1 on error (out==nullptr: probe length only)
+//   long resample_poly(const float* in, long n_in, int up, int down,
+//                      float* out, long max_out);
+//   int  load_batch_mono(const char** paths, int n, int target_sr,
+//                        float* out, long stride, long* lens, int n_threads);
+//       -> 0 ok; out is [n, stride]; lens[i] = samples (clipped to stride)
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <numeric>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct WavData {
+  std::vector<float> samples;  // mono
+  int sample_rate = 0;
+};
+
+uint32_t rd_u32(const unsigned char* p) {
+  return p[0] | (p[1] << 8) | (p[2] << 16) | (uint32_t(p[3]) << 24);
+}
+uint16_t rd_u16(const unsigned char* p) { return p[0] | (p[1] << 8); }
+
+bool read_wav(const char* path, WavData& out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  unsigned char hdr[12];
+  if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr, "RIFF", 4) || memcmp(hdr + 8, "WAVE", 4)) {
+    fclose(f);
+    return false;
+  }
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  std::vector<unsigned char> data;
+  unsigned char chunk[8];
+  while (fread(chunk, 1, 8, f) == 8) {
+    uint32_t size = rd_u32(chunk + 4);
+    if (!memcmp(chunk, "fmt ", 4)) {
+      std::vector<unsigned char> buf(size);
+      if (fread(buf.data(), 1, size, f) != size) break;
+      fmt = rd_u16(buf.data());
+      channels = rd_u16(buf.data() + 2);
+      rate = rd_u32(buf.data() + 4);
+      bits = rd_u16(buf.data() + 14);
+      if (fmt == 0xFFFE && size >= 40) fmt = rd_u16(buf.data() + 24);  // extensible
+    } else if (!memcmp(chunk, "data", 4)) {
+      data.resize(size);
+      size_t got = fread(data.data(), 1, size, f);
+      data.resize(got);
+      break;
+    } else {
+      fseek(f, (size + 1) & ~1u, SEEK_CUR);
+    }
+  }
+  fclose(f);
+  if (!rate || !channels || data.empty()) return false;
+
+  const size_t bytes_per = bits / 8;
+  const size_t frames = data.size() / (bytes_per * channels);
+  out.samples.resize(frames);
+  out.sample_rate = static_cast<int>(rate);
+  const unsigned char* p = data.data();
+  for (size_t i = 0; i < frames; ++i) {
+    double acc = 0.0;
+    for (int c = 0; c < channels; ++c) {
+      const unsigned char* s = p + (i * channels + c) * bytes_per;
+      double v = 0.0;
+      if (fmt == 3 && bits == 32) {  // IEEE float
+        float fv;
+        memcpy(&fv, s, 4);
+        v = fv;
+      } else if (bits == 16) {
+        int16_t iv = static_cast<int16_t>(s[0] | (s[1] << 8));
+        v = iv / 32768.0;
+      } else if (bits == 24) {
+        int32_t iv = s[0] | (s[1] << 8) | (s[2] << 16);
+        if (iv & 0x800000) iv |= 0xFF000000;
+        v = iv / 8388608.0;
+      } else if (bits == 32) {
+        int32_t iv;
+        memcpy(&iv, s, 4);
+        v = iv / 2147483648.0;
+      } else if (bits == 8) {
+        v = (static_cast<int>(s[0]) - 128) / 128.0;
+      }
+      acc += v;
+    }
+    out.samples[i] = static_cast<float>(acc / channels);
+  }
+  return true;
+}
+
+double bessel_i0(double x) {
+  double sum = 1.0, term = 1.0;
+  for (int k = 1; k < 32; ++k) {
+    term *= (x / (2.0 * k)) * (x / (2.0 * k));
+    sum += term;
+    if (term < 1e-16 * sum) break;
+  }
+  return sum;
+}
+
+// Polyphase windowed-sinc resampler (scipy.signal.resample_poly-style:
+// kaiser(beta=5) window, half_len = 10 * max(up, down)).
+std::vector<float> resample(const std::vector<float>& x, int up, int down) {
+  if (up == down) return x;
+  const int g = std::gcd(up, down);
+  up /= g;
+  down /= g;
+  const int max_rate = std::max(up, down);
+  const double f_c = 1.0 / max_rate;  // normalized cutoff (Nyquist of lower rate)
+  const int half_len = 10 * max_rate;
+  const int n_taps = 2 * half_len + 1;
+  std::vector<double> h(n_taps);
+  const double beta = 5.0;
+  const double i0b = bessel_i0(beta);
+  for (int i = 0; i < n_taps; ++i) {
+    const double t = i - half_len;
+    const double sinc = (t == 0.0) ? f_c : std::sin(M_PI * f_c * t) / (M_PI * t);
+    const double r = t / half_len;
+    const double w = bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r))) / i0b;
+    h[i] = up * sinc * w;
+  }
+  const long n_in = static_cast<long>(x.size());
+  const long n_out = (n_in * up + down - 1) / down;
+  std::vector<float> y(n_out, 0.0f);
+  // y[m] = sum_k h[m*down - k*up + half_len] * x[k]
+  for (long m = 0; m < n_out; ++m) {
+    const long pos = m * down - half_len;  // index in upsampled grid of first tap
+    // k*up >= pos  ->  k >= ceil(pos/up)
+    long k0 = pos <= 0 ? 0 : (pos + up - 1) / up;
+    long k1 = (pos + n_taps - 1) / up;  // k*up <= pos + n_taps - 1
+    if (k1 >= n_in) k1 = n_in - 1;
+    double acc = 0.0;
+    for (long k = k0; k <= k1; ++k) {
+      const long tap = k * up - pos;
+      acc += h[tap] * x[k];
+    }
+    y[m] = static_cast<float>(acc);
+  }
+  return y;
+}
+
+}  // namespace
+
+extern "C" {
+
+long wav_read_mono(const char* path, float* out, long max_len, int* sr) {
+  WavData w;
+  if (!read_wav(path, w)) return -1;
+  if (sr) *sr = w.sample_rate;
+  const long n = static_cast<long>(w.samples.size());
+  if (out) {
+    const long m = n < max_len ? n : max_len;
+    memcpy(out, w.samples.data(), m * sizeof(float));
+    return m;
+  }
+  return n;
+}
+
+long resample_poly_c(const float* in, long n_in, int up, int down, float* out, long max_out) {
+  std::vector<float> x(in, in + n_in);
+  std::vector<float> y = resample(x, up, down);
+  const long m = static_cast<long>(y.size()) < max_out ? static_cast<long>(y.size()) : max_out;
+  memcpy(out, y.data(), m * sizeof(float));
+  return m;
+}
+
+int load_batch_mono(const char** paths, int n, int target_sr, float* out, long stride,
+                    long* lens, int n_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> errors(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      WavData w;
+      if (!read_wav(paths[i], w)) {
+        lens[i] = -1;
+        errors.fetch_add(1);
+        continue;
+      }
+      std::vector<float> s = std::move(w.samples);
+      if (target_sr > 0 && w.sample_rate != target_sr) {
+        s = resample(s, target_sr, w.sample_rate);
+      }
+      const long m = static_cast<long>(s.size()) < stride ? static_cast<long>(s.size()) : stride;
+      memcpy(out + static_cast<long>(i) * stride, s.data(), m * sizeof(float));
+      lens[i] = m;
+    }
+  };
+  const int nt = n_threads > 0 ? n_threads : 4;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return errors.load();
+}
+
+}  // extern "C"

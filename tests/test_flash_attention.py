@@ -46,3 +46,29 @@ def test_flash_supported_gating():
     q = jnp.zeros((1, 2, 512, 64))
     assert not FA.flash_supported(q) or jax.default_backend() != "cpu"
     assert FA.flash_supported(jnp.zeros((1, 2, 511, 64))) is False if jax.default_backend() != "cpu" else True
+
+
+def test_chunked_attention_matches_sdpa_and_grads():
+    import jax
+    from f5_tts_tpu.ops.attention import chunked_attention
+
+    rng = np.random.default_rng(3)
+    b, h, n, dh = 2, 2, 512, 32
+    q = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    mask = jnp.asarray(np.arange(n)[None, :] < np.array([[n], [300]]))
+    got = np.asarray(chunked_attention(q, k, v, mask, chunk=128))
+    want = np.asarray(sdpa(q, k, v, mask))
+    mm = np.asarray(mask)[:, None, :, None]
+    np.testing.assert_allclose(got * mm, want * mm, atol=2e-5)
+
+    def loss_c(q_):
+        return (chunked_attention(q_, k, v, mask, chunk=128) * mm).sum()
+
+    def loss_s(q_):
+        return (sdpa(q_, k, v, mask) * mm).sum()
+
+    gc = np.asarray(jax.grad(loss_c)(q))
+    gs = np.asarray(jax.grad(loss_s)(q))
+    np.testing.assert_allclose(gc, gs, atol=1e-4)
