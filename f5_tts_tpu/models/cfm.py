@@ -78,6 +78,7 @@ def sample(
     opts: SampleOptions = SampleOptions(),
     edit_mask: jax.Array | None = None,  # [b, n] True where ref audio is KEPT
     no_ref_audio: bool = False,
+    duplicate_test: bool = False,  # debug: blend a shifted copy of cond into y0
     return_trajectory: bool = False,
     backend: str = "auto",
 ):
@@ -115,6 +116,18 @@ def sample(
         ).astype(compute_dtype)
 
     y0 = jnp.where(mask[..., None], noise, 0.0).astype(compute_dtype)
+
+    if duplicate_test:
+        # intermediate-step observation corner (cfm.py:141-143, 205-209):
+        # place a second copy of the ref mel right after the ref region and
+        # start the ODE at t_start = t_inter from the blended state
+        assert opts.t_start > 0.0, "duplicate_test requires opts.t_start = t_inter > 0"
+        test_cond = jax.vmap(lambda m, s: jnp.roll(m, s, axis=0))(step_cond, lens)
+        dup_region = (jnp.arange(n)[None, :] >= lens[:, None]) & (
+            jnp.arange(n)[None, :] < 2 * lens[:, None]
+        )
+        test_cond = jnp.where(dup_region[..., None], test_cond, 0.0)
+        y0 = (1.0 - opts.t_start) * y0 + opts.t_start * test_cond.astype(compute_dtype)
 
     ts = timestep_schedule(opts.steps, opts.sway_sampling_coef, opts.use_epss, opts.t_start)
     t_dt = jnp.stack([ts[:-1], ts[1:] - ts[:-1]], axis=1)  # [steps, 2]

@@ -45,6 +45,7 @@ class Trainer:
         logger: str | None = None,  # "wandb" | None
         mesh=None,
         seed: int = 666,
+        log_samples_fn=None,  # callback(ema_params, update) -> None; called at each save
     ):
         assert grad_accumulation_steps == 1, "grad accumulation: raise frames budget instead"
         self.model_cfg = model_cfg
@@ -59,6 +60,7 @@ class Trainer:
         self.last_per_updates = last_per_updates
         self.seed = seed
         self.mesh = mesh
+        self.log_samples_fn = log_samples_fn
         os.makedirs(ckpt_dir, exist_ok=True)
         self.log_file = log_file or os.path.join(ckpt_dir, "train_log.jsonl")
         self.wandb = None
@@ -200,6 +202,11 @@ class Trainer:
                 state = {"params": params, "opt_state": opt_state, "ema": ema_params, "step": step}
                 if update % self.save_per_updates == 0:
                     self.save_checkpoint(state, update)
+                    if self.log_samples_fn is not None:  # reference log_samples (:408-438)
+                        try:
+                            self.log_samples_fn(ema_params, update)
+                        except Exception as e:  # noqa: BLE001 — sampling must not kill training
+                            print(f"log_samples failed at update {update}: {e}")
                 if update % self.last_per_updates == 0:
                     self.save_checkpoint(state, update, last=True)
             skip = 0

@@ -53,3 +53,55 @@ def test_batch_server_sharded_mesh():
     wavs2, _ = srv2.run(reqs)
     for a, b in zip(wavs, wavs2):
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_http_server_roundtrip(tmp_path):
+    import threading
+    import time as _time
+
+    from http.server import ThreadingHTTPServer
+
+    from f5_tts_tpu.audio.io import save_wav
+    from f5_tts_tpu.infer.api import F5TTS
+    from f5_tts_tpu.infer import http_server as H
+    from f5_tts_tpu.audio.preprocess import preprocess_ref_audio_text
+
+    sr = 24000
+    t = np.arange(int(sr * 1.2)) / sr
+    ref_path = str(tmp_path / "ref.wav")
+    save_wav(ref_path, 0.2 * np.sin(2 * np.pi * 220 * t), sr)
+
+    tts = F5TTS(model="F5TTS_Tiny", init_random=True, nfe_step=2, device="cpu")
+    ref, text = preprocess_ref_audio_text(ref_path, "a simple tone reference.")
+    handler = H.make_handler(tts, ref, text, threading.Lock())
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    _time.sleep(0.2)
+    try:
+        wav, out_sr = H.request_tts("make me some audio via http.", "127.0.0.1", port, seed=5)
+        assert out_sr == sr and len(wav) > 1000 and np.isfinite(wav).all()
+    finally:
+        server.shutdown()
+
+
+def test_duplicate_test_sampler_path():
+    import jax.numpy as jnp
+
+    from f5_tts_tpu.models import cfm as C
+    from tests.test_dit import SMALL, make_params
+
+    cfg = SMALL
+    params = make_params(cfg)
+    rng = np.random.default_rng(9)
+    b, n = 1, 48
+    cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    text = rng.integers(0, cfg.text_num_embeds, (b, 8)).astype(np.int32)
+    out = C.sample(params, cfg, jnp.asarray(cond), jnp.asarray(text),
+                   jnp.asarray(np.array([40], np.int32)),
+                   jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)),
+                   lens=jnp.asarray(np.array([10], np.int32)),
+                   opts=C.SampleOptions(steps=3, t_start=0.1, use_epss=False),
+                   duplicate_test=True, backend="sdpa")
+    assert np.isfinite(np.asarray(out)).all()
