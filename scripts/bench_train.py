@@ -1,0 +1,63 @@
+"""Training-step throughput on the current device (frames/s per chip).
+
+Reference scale point: 8 GPUs x 38,400 frames/GPU per update
+(configs/F5TTS_v1_Base.yaml).  This measures one chip's sustainable
+frames/s on the F5TTS_v1_Base arch with activation rematerialization.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import dataclasses
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    import functools
+
+    from f5_tts_tpu.models import dit
+    from f5_tts_tpu.models.configs import MODEL_CONFIGS
+    from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
+
+    arch = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"].arch, checkpoint_activations=True)
+    b, n, nt = int(sys.argv[1]) if len(sys.argv) > 1 else 8, 1024, 256
+    params = dit.init(jax.random.PRNGKey(0), arch)
+    opt_cfg = OptimConfig()
+    opt_state, ema, step = init_train_state(params, opt_cfg)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": rng.standard_normal((b, n, 100)).astype(np.float32),
+        "text_ids": rng.integers(0, 2545, (b, nt)).astype(np.int32),
+        "lens": np.full((b,), n, np.int32),
+    }
+    step_fn = jax.jit(
+        functools.partial(train_step, arch_cfg=arch, opt_cfg=opt_cfg, backend="chunked"),
+        donate_argnums=(0, 1, 2, 3),
+    )
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    params, opt_state, ema, step, m = step_fn(params, opt_state, ema, step, batch, key)
+    jax.block_until_ready(m["loss"])
+    print(f"compile: {time.perf_counter() - t0:.1f}s, loss {float(m['loss']):.4f}", file=sys.stderr)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        params, opt_state, ema, step, m = step_fn(params, opt_state, ema, step, batch, sub)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    frames_s = b * n / dt
+    print(f"step: {dt*1000:.1f} ms, {frames_s:,.0f} frames/s/chip (batch {b}x{n})", file=sys.stderr)
+    print(json.dumps({"metric": "train_frames_per_s", "value": round(frames_s), "unit": "frames/s/chip"}))
+
+
+if __name__ == "__main__":
+    main()
