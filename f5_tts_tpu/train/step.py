@@ -32,6 +32,9 @@ class OptimConfig:
     ema_decay: float = 0.9999  # ema_pytorch defaults (trainer.py:107)
     ema_update_after_step: int = 100
     ema_update_every: int = 10
+    # bf16 compute with fp32 master weights (TPU mixed precision; the reference
+    # trains fp32 — bf16 is the TPU-native choice, MXU-matched)
+    mixed_precision: bool = False
 
 
 def lr_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -88,8 +91,15 @@ def train_step(
     mesh shards it (batch on data axis => gradient all-reduce via XLA)."""
 
     def loss_fn(p):
+        if opt_cfg.mixed_precision:
+            p = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, p
+            )
+            mel = batch["mel"].astype(jnp.bfloat16)
+        else:
+            mel = batch["mel"]
         return cfm.loss(
-            p, arch_cfg, batch["mel"], batch["text_ids"], batch["lens"], key, backend=backend
+            p, arch_cfg, mel, batch["text_ids"], batch["lens"], key, backend=backend
         )
 
     loss_val, grads = jax.value_and_grad(loss_fn)(params)

@@ -28,7 +28,7 @@ def main():
     arch = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"].arch, checkpoint_activations=True)
     b, n, nt = int(sys.argv[1]) if len(sys.argv) > 1 else 8, 1024, 256
     params = dit.init(jax.random.PRNGKey(0), arch)
-    opt_cfg = OptimConfig()
+    opt_cfg = OptimConfig(mixed_precision=len(sys.argv) > 2 and sys.argv[2] == "bf16")
     opt_state, ema, step = init_train_state(params, opt_cfg)
 
     rng = np.random.default_rng(0)
