@@ -117,6 +117,36 @@ def _ref_mel(wav_padded, mel_cfg: MelConfig):
     return log_mel_prepadded(wav_padded, mel_cfg)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("model_cfg", "opts", "decode", "vocoder_type", "n")
+)
+def _sample_and_decode_from_wav(
+    dit_params,
+    voc_params,
+    model_cfg: ModelConfig,
+    opts: EngineOptions,
+    wav_padded,  # [b, S] host-reflect-padded ref wavs, zero-extended
+    lens,  # [b] ref frames
+    text_ids,  # [b, n]
+    duration,  # [b]
+    seeds,  # [b]
+    n: int,  # mel bucket (frames)
+    decode: bool = True,
+    vocoder_type: str = "vocos",
+):
+    """Fully fused path: ref-audio mel extraction + CFM sampling + vocoder in
+    ONE graph call — one host<->device round trip per utterance batch (the
+    split path costs two; the reference's Triton server does mel on the host,
+    model.py:140-158)."""
+    mel = log_mel_prepadded(wav_padded, model_cfg.mel)[:, :n, :]
+    cond = jnp.where(jnp.arange(n)[None, :, None] < lens[:, None, None], mel, 0.0)
+    compute_dtype = jax.tree.leaves(dit_params)[0].dtype
+    return _sample_and_decode(
+        dit_params, voc_params, model_cfg, opts, cond.astype(compute_dtype),
+        text_ids, lens, duration, seeds, decode=decode, vocoder_type=vocoder_type,
+    )
+
+
 class InferenceEngine:
     """Holds weights + compiled graphs; exposes batch mel/waveform generation."""
 
@@ -199,6 +229,57 @@ class InferenceEngine:
             wav_np = np.asarray(wav).astype(np.float32) / 32767.0
             for i, gf in enumerate(gen_frames):
                 # vocos istft yields (n-1)*hop samples for n frames; bigvgan n*hop
+                n_samp = max(gf - 1, 0) * self.hop if self.vocoder_type == "vocos" else gf * self.hop
+                wavs.append(wav_np[i, :n_samp])
+        return mel_np, wavs, gen_frames
+
+    def generate_batch_from_wav(
+        self,
+        ref_wav: np.ndarray,  # one reference waveform shared by all chunks
+        text_ids_list: list[np.ndarray],
+        durations: list[int],
+        seeds: list[int] | None = None,
+        decode: bool = True,
+        fetch_mel: bool = True,
+    ):
+        """Fused single-call path (mel extraction in-graph): one device round
+        trip for the whole utterance batch."""
+        b = len(text_ids_list)
+        mel_cfg = self.model_cfg.mel
+        n = pick_bucket(max(durations), self.buckets)
+        ref_frames = len(ref_wav) // self.hop  # reference frame count (pipeline.py)
+        pad = stft_pad_amount(mel_cfg)
+        S = n * self.hop + mel_cfg.n_fft
+        padded = np.pad(np.asarray(ref_wav, np.float32), pad, mode="reflect")
+        padded = np.pad(padded, (0, max(0, S - len(padded))))[:S]
+        wavs_in = np.broadcast_to(padded, (b, S))
+        lens = np.full((b,), min(ref_frames, n), np.int32)
+        text_ids = np.full((b, n), -1, np.int32)
+        for i, t in enumerate(text_ids_list):
+            text_ids[i, : min(len(t), n)] = t[:n]
+        duration = np.minimum(np.asarray(durations, np.int32), n)
+        if seeds is None:
+            seeds = list(np.random.randint(0, 2**31 - 1, size=b))
+        mel_out, wav = _sample_and_decode_from_wav(
+            self.dit_params,
+            self.vocoder_params,
+            self.model_cfg,
+            self.options,
+            jnp.asarray(wavs_in),
+            jnp.asarray(lens),
+            jnp.asarray(text_ids),
+            jnp.asarray(duration),
+            jnp.asarray(np.asarray(seeds, np.int32)),
+            n,
+            decode=decode and self.vocoder_params is not None,
+            vocoder_type=self.vocoder_type,
+        )
+        mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
+        wavs = []
+        gen_frames = [int(d - ln) for d, ln in zip(duration, lens)]
+        if wav is not None:
+            wav_np = np.asarray(wav).astype(np.float32) / 32767.0
+            for i, gf in enumerate(gen_frames):
                 n_samp = max(gf - 1, 0) * self.hop if self.vocoder_type == "vocos" else gf * self.hop
                 wavs.append(wav_np[i, :n_samp])
         return mel_np, wavs, gen_frames

@@ -116,7 +116,6 @@ def infer_batch_process(
     if ref_text and len(ref_text[-1].encode("utf-8")) == 1:
         ref_text = ref_text + " "
 
-    ref_mel = engine.ref_mel(wav)
     ref_frames = len(wav) // mel_cfg.hop_length  # reference uses audio len // hop
 
     texts = [ref_text + g for g in gen_text_batches]
@@ -125,13 +124,13 @@ def infer_batch_process(
         ref_frames, ref_text, gen_text_batches, opts.speed, opts.fix_duration, sr_t, mel_cfg.hop_length
     )
     seeds = None if opts.seed is None else [opts.seed] * len(texts)
-    # ref mel may have one frame more than ref_frames (center=True); pass the
-    # reference's frame count so the generated region lines up
-    mels, wavs, gen_frames = engine.generate_batch(
-        [ref_mel[:ref_frames]] * len(texts),
+    # fused path: ref-mel extraction happens inside the same compiled graph
+    mels, wavs, gen_frames = engine.generate_batch_from_wav(
+        wav,
         [ids[i][ids[i] != -1] for i in range(len(texts))],
         durations,
         seeds=seeds,
+        fetch_mel=not streaming,
     )
     if 0 < audio_rms < target_rms:
         wavs = [w * (audio_rms / target_rms) for w in wavs]

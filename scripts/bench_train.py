@@ -38,7 +38,7 @@ def main():
         "lens": np.full((b,), n, np.int32),
     }
     step_fn = jax.jit(
-        functools.partial(train_step, arch_cfg=arch, opt_cfg=opt_cfg, backend="chunked"),
+        functools.partial(train_step, arch_cfg=arch, opt_cfg=opt_cfg, backend=(sys.argv[3] if len(sys.argv) > 3 else "chunked")),
         donate_argnums=(0, 1, 2, 3),
     )
     key = jax.random.PRNGKey(1)
