@@ -89,6 +89,17 @@ def attention(q, k, v, mask=None, backend: str = "auto"):
         return sdpa(q, k, v, mask)
     if backend == "chunked":
         return chunked_attention(q, k, v, mask)
+    if backend in ("flash_train", "train_auto"):
+        # differentiable Pallas kernel (custom VJP) for training
+        try:
+            from f5_tts_tpu.ops.flash_attention import flash_attention_trainable, flash_supported
+
+            if backend == "flash_train" or flash_supported(q):
+                return flash_attention_trainable(q, k, v, mask)
+        except ImportError:
+            if backend == "flash_train":
+                raise
+        return sdpa(q, k, v, mask)
     if backend in ("flash", "auto"):
         try:
             from f5_tts_tpu.ops.flash_attention import flash_attention, flash_supported

@@ -22,6 +22,97 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_BIG = -1e30
 
 
+def _kernel_fwd_stats(lens_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, block_k, n_kv, heads):
+    """Forward with logsumexp stats output (for the custom-vjp backward)."""
+    bh = pl.program_id(0)
+    b = bh // heads
+    kv_len = lens_ref[b]
+    q = q_ref[0].astype(jnp.bfloat16)
+    bq, dh = q.shape
+    m = jnp.full((bq, 1), NEG_BIG, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, dh), jnp.float32)
+    for j in range(n_kv // block_k):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+        s = jnp.where(col < kv_len, s, NEG_BIG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = m_new
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    l_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _kernel_dq(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
+               *, scale, block_k, n_kv, heads):
+    """dq_i = scale * sum_j ds_ij k_j;  ds = p * (do k v^T - D)."""
+    bh = pl.program_id(0)
+    b = bh // heads
+    kv_len = lens_ref[b]
+    q = q_ref[0].astype(jnp.bfloat16)
+    do = do_ref[0].astype(jnp.bfloat16)
+    L = L_ref[0, 0][:, None]  # [bq, 1]
+    D = D_ref[0, 0][:, None]
+    bq, dh = q.shape
+    dq = jnp.zeros((bq, dh), jnp.float32)
+    for j in range(n_kv // block_k):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+        s = jnp.where(col < kv_len, s, NEG_BIG)
+        p = jnp.exp(s - L)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - D)
+        dq = dq + jax.lax.dot_general(ds.astype(jnp.bfloat16), k, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _kernel_dkv(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dk_ref, dv_ref,
+                *, scale, block_q, n_q, heads):
+    """Per key block: dv_j = sum_i p_ij^T do_i;  dk_j = scale * sum_i ds_ij^T q_i."""
+    bh = pl.program_id(0)
+    b = bh // heads
+    kv_len = lens_ref[b]
+    k = k_ref[0].astype(jnp.bfloat16)  # [bk, dh]
+    v = v_ref[0].astype(jnp.bfloat16)
+    bk, dh = k.shape
+    jk = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + jk * bk
+    dk = jnp.zeros((bk, dh), jnp.float32)
+    dv = jnp.zeros((bk, dh), jnp.float32)
+    for i in range(n_q // block_q):
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
+        L = L_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        D = D_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(col < kv_len, s, NEG_BIG)
+        p = jnp.exp(s - L)  # [bq, bk]
+        dv = dv + jax.lax.dot_general(p.astype(jnp.bfloat16), do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - D)).astype(jnp.bfloat16)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k, n_kv, heads):
     bh = pl.program_id(0)
     b = bh // heads
@@ -93,6 +184,117 @@ def _flash(q, k, v, lens, block_q: int, block_k: int):
         ),
     )(lens, qf, kf, vf)
     return out.reshape(b, h, n, dh)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_fwd_stats(q, k, v, lens, block_q: int, block_k: int):
+    b, h, n, dh = q.shape
+    scale = dh**-0.5
+    qf, kf, vf = (x.reshape(b * h, n, dh) for x in (q, k, v))
+    kernel = functools.partial(_kernel_fwd_stats, scale=scale, block_k=block_k, n_kv=n, heads=h)
+    out, L = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda bh, iq, *_: (bh, iq, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, *_: (bh, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda bh, iq, *_: (bh, iq, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda bh, iq, *_: (bh, 0, iq)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
+    )(lens, qf, kf, vf)
+    return out.reshape(b, h, n, dh), L
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_bwd(q, k, v, do, L, D, lens, block_q: int, block_k: int):
+    b, h, n, dh = q.shape
+    scale = dh**-0.5
+    qf, kf, vf, dof = (x.reshape(b * h, n, dh) for x in (q, k, v, do))
+    dq = pl.pallas_call(
+        functools.partial(_kernel_dq, scale=scale, block_k=block_k, n_kv=n, heads=h),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda bh, iq, *_: (bh, iq, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, dh), lambda bh, iq, *_: (bh, iq, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda bh, iq, *_: (bh, 0, iq)),
+                pl.BlockSpec((1, 1, block_q), lambda bh, iq, *_: (bh, 0, iq)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, iq, *_: (bh, iq, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
+    )(lens, qf, kf, vf, dof, L, D)
+    dk, dv = pl.pallas_call(
+        functools.partial(_kernel_dkv, scale=scale, block_q=block_q, n_q=n, heads=h),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, n // block_k),
+            in_specs=[
+                pl.BlockSpec((1, n, dh), lambda bh, jk, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, dh), lambda bh, jk, *_: (bh, jk, 0)),
+                pl.BlockSpec((1, block_k, dh), lambda bh, jk, *_: (bh, jk, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, jk, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, n), lambda bh, jk, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, n), lambda bh, jk, *_: (bh, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, dh), lambda bh, jk, *_: (bh, jk, 0)),
+                pl.BlockSpec((1, block_k, dh), lambda bh, jk, *_: (bh, jk, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
+    )(lens, qf, kf, vf, dof, L, D)
+    return dq.reshape(b, h, n, dh), dk.reshape(b, h, n, dh), dv.reshape(b, h, n, dh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_diff(q, k, v, lens, block_q, block_k):
+    return _flash(q, k, v, lens, block_q, block_k)
+
+
+def _flash_diff_fwd(q, k, v, lens, block_q, block_k):
+    out, L = _flash_fwd_stats(q, k, v, lens, block_q, block_k)
+    return out, (q, k, v, lens, out, L)
+
+
+def _flash_diff_bwd(block_q, block_k, res, do):
+    q, k, v, lens, out, L = res
+    b, h, n, dh = q.shape
+    # D_i = rowsum(do_i * o_i) — the softmax-jacobian correction term
+    D = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1).reshape(b * h, 1, n)
+    dq, dk, dv = _flash_bwd(q, k, v, do, L, D, lens, block_q, block_k)
+    return dq, dk, dv, jnp.zeros(lens.shape, dtype=jax.dtypes.float0)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+def flash_attention_trainable(q, k, v, mask=None, block_q: int = 256, block_k: int = 512):
+    """Differentiable flash attention (custom VJP with Pallas fwd+bwd kernels).
+    Padding-query rows must receive zero upstream gradient — guaranteed when
+    the caller re-masks the attention output (models/layers.py mha does)."""
+    b, h, n, dh = q.shape
+    lens = jnp.full((b,), n, jnp.int32) if mask is None else jnp.sum(mask, axis=-1).astype(jnp.int32)
+    return _flash_diff(q, k, v, lens, min(block_q, n), min(block_k, n))
 
 
 def flash_supported(q) -> bool:

@@ -85,7 +85,7 @@ def train_step(
     key: jax.Array,
     arch_cfg,
     opt_cfg: OptimConfig,
-    backend: str = "auto",
+    backend: str = "train_auto",  # Pallas flash fwd+bwd on TPU, SDPA elsewhere
 ):
     """One optimizer update.  Pure function of its inputs -> jit/pjit over a
     mesh shards it (batch on data axis => gradient all-reduce via XLA)."""

@@ -74,7 +74,7 @@ class Trainer:
 
         self._step_fn = jax.jit(
             functools.partial(
-                train_step, arch_cfg=model_cfg.arch, opt_cfg=opt_cfg, backend="sdpa"
+                train_step, arch_cfg=model_cfg.arch, opt_cfg=opt_cfg, backend="train_auto"
             ),
             donate_argnums=(0, 1, 2, 3),
         )

@@ -72,3 +72,32 @@ def test_chunked_attention_matches_sdpa_and_grads():
     gc = np.asarray(jax.grad(loss_c)(q))
     gs = np.asarray(jax.grad(loss_s)(q))
     np.testing.assert_allclose(gc, gs, atol=1e-4)
+
+
+def test_flash_trainable_grads_match_sdpa():
+    import jax
+    from f5_tts_tpu.ops.flash_attention import flash_attention_trainable
+
+    rng = np.random.default_rng(5)
+    b, h, n, dh = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    mask = jnp.asarray(np.arange(n)[None, :] < np.array([[180]]))
+    mm = np.asarray(mask)[:, None, :, None]
+
+    out_f = np.asarray(flash_attention_trainable(q, k, v, mask, block_q=128, block_k=128))
+    out_s = np.asarray(sdpa(q, k, v, mask))
+    np.testing.assert_allclose(out_f * mm, out_s * mm, atol=2e-2)
+
+    def loss_f(q_, k_, v_):
+        return (flash_attention_trainable(q_, k_, v_, mask, block_q=128, block_k=128) * mm).sum()
+
+    def loss_s(q_, k_, v_):
+        return (sdpa(q_, k_, v_, mask) * mm).sum()
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gs):
+        err = np.abs(np.asarray(a) - np.asarray(b_)).mean()
+        assert err < 5e-3, err
