@@ -289,3 +289,20 @@ class InferenceEngine:
         ref = np.zeros((n_frames // 4, d), np.float32)
         txt = np.zeros((text_len,), np.int32)
         self.generate_batch([ref], [txt], [n_frames - 1], seeds=[0])
+
+    def warmup_all(self, buckets=None, batch_sizes=(1,), fused: bool = True) -> None:
+        """Pre-compile graphs for every (bucket, batch) pair a server will see.
+        Compiled executables persist via the jax compilation cache, so this is
+        a one-time cost per deployment."""
+        d = self.model_cfg.mel.n_mel_channels
+        sr = self.model_cfg.mel.target_sample_rate
+        for n in buckets or self.buckets:
+            for b in batch_sizes:
+                txts = [np.zeros((min(64, n),), np.int32)] * b
+                durs = [n - 1] * b
+                if fused:
+                    wav = np.zeros(int(min(n // 4 * self.hop, 11 * sr)), np.float32)
+                    self.generate_batch_from_wav(wav, txts, durs, seeds=[0] * b, fetch_mel=False)
+                else:
+                    ref = np.zeros((n // 4, d), np.float32)
+                    self.generate_batch([ref] * b, txts, durs, seeds=[0] * b, fetch_mel=False)
