@@ -129,6 +129,32 @@ class DynamicBatchSampler:
         return len(self.batches)
 
 
+class SampleBatchSampler:
+    """batch_size_type="sample": fixed number of sequences per batch, length-
+    sorted to minimize padding, epoch-seeded batch shuffle (reference
+    trainer.py:283-292 SequentialSampler + fixed batch_size path)."""
+
+    def __init__(self, dataset, batch_size: int, random_seed: int | None = None, drop_residual: bool = False):
+        order = sorted(range(len(dataset)), key=lambda i: dataset.get_frame_len(i))
+        self.batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
+        if drop_residual and self.batches and len(self.batches[-1]) < batch_size:
+            self.batches.pop()
+        self.random_seed = random_seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self):
+        if self.random_seed is not None:
+            g = np.random.default_rng(self.random_seed + self.epoch)
+            return iter([self.batches[i] for i in g.permutation(len(self.batches))])
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
 def pad_frames_to(n: int, multiple: int = 256) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 

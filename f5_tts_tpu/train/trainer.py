@@ -155,12 +155,19 @@ class Trainer:
         else:
             bsh = None
 
-        sampler = DynamicBatchSampler(
-            dataset,
-            frames_threshold=self.batch_size_per_device,
-            max_samples=self.max_samples,
-            random_seed=self.seed,
-        )
+        if self.batch_size_type == "sample":
+            from f5_tts_tpu.train.dataset import SampleBatchSampler
+
+            sampler = SampleBatchSampler(
+                dataset, batch_size=self.batch_size_per_device, random_seed=self.seed
+            )
+        else:
+            sampler = DynamicBatchSampler(
+                dataset,
+                frames_threshold=self.batch_size_per_device,
+                max_samples=self.max_samples,
+                random_seed=self.seed,
+            )
         key = jax.random.PRNGKey(self.seed)
         update = start_update
         updates_per_epoch = len(sampler)

@@ -133,3 +133,28 @@ def test_prepare_csv_wavs_roundtrip(tmp_path):
     assert len(ds) == 3
     item = ds[0]
     assert item["mel"].shape[1] == 100 and item["text"].startswith("hello")
+
+
+def test_sample_batch_sampler():
+    from f5_tts_tpu.train.dataset import SampleBatchSampler
+
+    ds = make_dataset(10)
+    s = SampleBatchSampler(ds, batch_size=4, random_seed=3)
+    batches = list(iter(s))
+    assert sum(len(b) for b in batches) == 10
+    assert max(len(b) for b in batches) == 4
+    s.set_epoch(1)
+    assert list(iter(s)) != batches or len(batches) <= 1
+
+
+def test_trainer_sample_batch_type(tmp_path):
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16), tokenizer="byte")
+    ds = make_dataset(8)
+    trainer = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=10),
+                      ckpt_dir=str(tmp_path / "cks"), batch_size_per_device=4,
+                      batch_size_type="sample", save_per_updates=100, last_per_updates=100, seed=0)
+    params = D.init(jax.random.PRNGKey(0), arch)
+    _, _, upd = trainer.train(params, ds, epochs=1, resume=False)
+    assert upd == 2
