@@ -58,32 +58,50 @@ class BatchServer:
             return arr
         return jax.device_put(arr, self._batch_sharding)
 
-    def run(self, requests: list[Request], fetch_mel: bool = False):
-        """Processes all requests; returns (wavs, per_batch_latencies)."""
+    def run(self, requests: list[Request], fetch_mel: bool = False, overlap: int = 2):
+        """Processes all requests; returns (wavs, per_batch_latencies).
+
+        ``overlap`` batches run concurrently (dispatch of batch i+1 overlaps
+        the host fetch of batch i — the concurrency-2 serving pattern of the
+        reference's headline benchmark, README.md:131-138)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         order = sorted(range(len(requests)), key=lambda i: requests[i].duration)
         wavs: dict[int, np.ndarray] = {}
         latencies = []
         eng = self.engine
         B = self.batch_size
+        groups = [order[s : s + B] for s in range(0, len(order), B)]
+
+        def run_group(grp):
+            reqs = [requests[i] for i in grp]
+            pad = B - len(reqs)
+            reqs = reqs + [reqs[-1]] * pad  # pad batch with a repeat
+            t0 = time.perf_counter()
+            if self.mesh is not None:
+                _, ws, _ = self._run_sharded(reqs)
+            else:
+                _, ws, _ = eng.generate_batch(
+                    [r.ref_mel for r in reqs], [r.text_ids for r in reqs],
+                    [r.duration for r in reqs], seeds=[r.seed for r in reqs],
+                    fetch_mel=fetch_mel,
+                )
+            return grp, ws, time.perf_counter() - t0
+
         ctx = self.mesh or _nullcontext()
         with ctx:
-            for s in range(0, len(order), B):
-                grp = order[s : s + B]
-                reqs = [requests[i] for i in grp]
-                pad = B - len(reqs)
-                reqs = reqs + [reqs[-1]] * pad  # pad batch with a repeat
-                t0 = time.perf_counter()
-                if self.mesh is not None:
-                    mels, ws, gf = self._run_sharded(reqs)
-                else:
-                    mels, ws, gf = eng.generate_batch(
-                        [r.ref_mel for r in reqs], [r.text_ids for r in reqs],
-                        [r.duration for r in reqs], seeds=[r.seed for r in reqs],
-                        fetch_mel=fetch_mel,
-                    )
-                latencies.append(time.perf_counter() - t0)
-                for j, i in enumerate(grp):
-                    wavs[i] = ws[j]
+            if overlap > 1 and self.mesh is None and len(groups) > 1:
+                with ThreadPoolExecutor(max_workers=overlap) as ex:
+                    for grp, ws, lat in ex.map(run_group, groups):
+                        latencies.append(lat)
+                        for j, i in enumerate(grp):
+                            wavs[i] = ws[j]
+            else:
+                for grp in groups:
+                    g, ws, lat = run_group(grp)
+                    latencies.append(lat)
+                    for j, i in enumerate(g):
+                        wavs[i] = ws[j]
         return [wavs[i] for i in range(len(requests))], latencies
 
     def _run_sharded(self, reqs: list[Request]):
