@@ -115,6 +115,12 @@ MODEL_CONFIGS: dict[str, ModelConfig] = {
         arch=UNetTConfig(dim=768, depth=20, heads=12, ff_mult=4,
                          text_mask_padding=False, pe_attn_head=1),
     ),
+    # experimental dual-stream config (the reference defines MMDiT but ships no
+    # checkpoint for it; provided for training/research use)
+    "F5TTS_MMDiT_Base": ModelConfig(
+        name="F5TTS_MMDiT_Base",
+        arch=MMDiTConfig(dim=1024, depth=22, heads=16, ff_mult=4),
+    ),
     # test/smoke-only tiny config (not a released architecture)
     "F5TTS_Tiny": _dit("F5TTS_Tiny", tokenizer="char", dim=64, depth=2, heads=4,
                        ff_mult=2, text_dim=32, text_mask_padding=True, conv_layers=1,

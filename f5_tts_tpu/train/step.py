@@ -35,6 +35,12 @@ class OptimConfig:
     # bf16 compute with fp32 master weights (TPU mixed precision; the reference
     # trains fp32 — bf16 is the TPU-native choice, MXU-matched)
     mixed_precision: bool = False
+    # micro-batch accumulation (reference grad_accumulation_steps,
+    # trainer.py:63-68) — one optimizer update every k step calls
+    grad_accumulation_steps: int = 1
+    # "adamw" | "adafactor" (the memory-saving stand-in for the reference's
+    # bnb 8-bit AdamW option, which is CUDA-only)
+    optimizer: str = "adamw"
 
 
 def lr_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -47,13 +53,17 @@ def lr_schedule(cfg: OptimConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
+    if cfg.optimizer == "adafactor":
+        inner = optax.adafactor(lr_schedule(cfg), weight_decay_rate=cfg.weight_decay)
+    else:
+        inner = optax.adamw(
             lr_schedule(cfg), b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
             weight_decay=cfg.weight_decay,
-        ),
-    )
+        )
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
+    if cfg.grad_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accumulation_steps)
+    return tx
 
 
 def init_train_state(params, cfg: OptimConfig):

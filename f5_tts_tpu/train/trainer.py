@@ -47,7 +47,10 @@ class Trainer:
         seed: int = 666,
         log_samples_fn=None,  # callback(ema_params, update) -> None; called at each save
     ):
-        assert grad_accumulation_steps == 1, "grad accumulation: raise frames budget instead"
+        if grad_accumulation_steps > 1 and opt_cfg.grad_accumulation_steps == 1:
+            import dataclasses as _dc
+
+            opt_cfg = _dc.replace(opt_cfg, grad_accumulation_steps=grad_accumulation_steps)
         self.model_cfg = model_cfg
         self.vocab = vocab
         self.opt_cfg = opt_cfg

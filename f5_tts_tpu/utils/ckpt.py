@@ -273,14 +273,74 @@ def unett_params_from_state(state: dict[str, np.ndarray], cfg):
     }
 
 
+def mmdit_params_from_state(state: dict[str, np.ndarray], cfg):
+    """Reference MMDiT state dict -> models.mmdit pytree
+    (backbones/mmdit.py module layout; joint-attention projections incl.
+    to_q_c/to_k_c/to_v_c and to_out_c)."""
+    if any(k.startswith("transformer.") for k in state):
+        state = {k[len("transformer.") :]: v for k, v in state.items() if k.startswith("transformer.")}
+
+    def attn(prefix, pre_only):
+        p = {
+            "to_q": _lin(state, f"{prefix}.to_q"),
+            "to_k": _lin(state, f"{prefix}.to_k"),
+            "to_v": _lin(state, f"{prefix}.to_v"),
+            "to_q_c": _lin(state, f"{prefix}.to_q_c"),
+            "to_k_c": _lin(state, f"{prefix}.to_k_c"),
+            "to_v_c": _lin(state, f"{prefix}.to_v_c"),
+            "to_out": _lin(state, f"{prefix}.to_out.0"),
+        }
+        if not pre_only:
+            p["to_out_c"] = _lin(state, f"{prefix}.to_out_c")
+        if f"{prefix}.q_norm.weight" in state:
+            for nm in ("q_norm", "k_norm", "c_q_norm", "c_k_norm"):
+                p[nm] = {"weight": jnp.asarray(state[f"{prefix}.{nm}.weight"])}
+        return p
+
+    def block(i):
+        b = f"transformer_blocks.{i}"
+        pre_only = i == cfg.depth - 1
+        p = {
+            "attn_norm_x": {"linear": _lin(state, f"{b}.attn_norm_x.linear")},
+            "attn_norm_c": {"linear": _lin(state, f"{b}.attn_norm_c.linear")},
+            "attn": attn(f"{b}.attn", pre_only),
+            "ff_x": {"in": _lin(state, f"{b}.ff_x.ff.0.0"), "out": _lin(state, f"{b}.ff_x.ff.2")},
+        }
+        if not pre_only:
+            p["ff_c"] = {"in": _lin(state, f"{b}.ff_c.ff.0.0"), "out": _lin(state, f"{b}.ff_c.ff.2")}
+        return p
+
+    mids = [block(i) for i in range(cfg.depth - 1)]
+    return {
+        "time_embed": {
+            "mlp1": _lin(state, "time_embed.time_mlp.0"),
+            "mlp2": _lin(state, "time_embed.time_mlp.2"),
+        },
+        "text_embed": {"embed": {"weight": jnp.asarray(state["text_embed.text_embed.weight"])}},
+        "audio_embed": {
+            "proj": _lin(state, "audio_embed.linear"),
+            "conv_pos": {
+                "conv1": _conv(state, "audio_embed.conv_pos_embed.conv1d.0"),
+                "conv2": _conv(state, "audio_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *mids),
+        "last_block": block(cfg.depth - 1),
+        "norm_out": {"linear": _lin(state, "norm_out.linear")},
+        "proj_out": _lin(state, "proj_out"),
+    }
+
+
 def params_from_state(state: dict[str, np.ndarray], arch_cfg):
     """Backbone-dispatching converter."""
-    from f5_tts_tpu.models.configs import DiTConfig, UNetTConfig
+    from f5_tts_tpu.models.configs import DiTConfig, MMDiTConfig, UNetTConfig
 
     if isinstance(arch_cfg, DiTConfig):
         return dit_params_from_state(state, arch_cfg)
     if isinstance(arch_cfg, UNetTConfig):
         return unett_params_from_state(state, arch_cfg)
+    if isinstance(arch_cfg, MMDiTConfig):
+        return mmdit_params_from_state(state, arch_cfg)
     raise ValueError(f"no converter for {type(arch_cfg)}")
 
 

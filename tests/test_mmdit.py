@@ -166,3 +166,56 @@ def test_mmdit_cfm_sample_runs():
                    lens=jnp.asarray(np.array([8, 6], np.int32)),
                    opts=C.SampleOptions(steps=2), backend="sdpa")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mmdit_ckpt_converter_roundtrip():
+    """Inverse-map our pytree into a reference-named state dict by hand, then
+    convert back and compare forwards."""
+    from f5_tts_tpu.utils.ckpt import mmdit_params_from_state
+
+    cfg = SMALL
+    params = randomize_adaln(M.init(jax.random.PRNGKey(5), cfg), cfg)
+    state = {}
+
+    def put_lin(name, p):
+        state[name + ".weight"] = np.asarray(p["kernel"]).T
+        if "bias" in p:
+            state[name + ".bias"] = np.asarray(p["bias"])
+
+    def put_conv(name, p):
+        state[name + ".weight"] = np.transpose(np.asarray(p["kernel"]), (2, 1, 0))
+        state[name + ".bias"] = np.asarray(p["bias"])
+
+    put_lin("time_embed.time_mlp.0", params["time_embed"]["mlp1"])
+    put_lin("time_embed.time_mlp.2", params["time_embed"]["mlp2"])
+    state["text_embed.text_embed.weight"] = np.asarray(params["text_embed"]["embed"]["weight"])
+    put_lin("audio_embed.linear", params["audio_embed"]["proj"])
+    put_conv("audio_embed.conv_pos_embed.conv1d.0", params["audio_embed"]["conv_pos"]["conv1"])
+    put_conv("audio_embed.conv_pos_embed.conv1d.2", params["audio_embed"]["conv_pos"]["conv2"])
+    for i in range(cfg.depth):
+        pre_only = i == cfg.depth - 1
+        bp = params["last_block"] if pre_only else jax.tree.map(lambda x, j=i: x[j], params["blocks"])
+        b = f"transformer_blocks.{i}"
+        put_lin(f"{b}.attn_norm_x.linear", bp["attn_norm_x"]["linear"])
+        put_lin(f"{b}.attn_norm_c.linear", bp["attn_norm_c"]["linear"])
+        for nm in ("to_q", "to_k", "to_v", "to_q_c", "to_k_c", "to_v_c"):
+            put_lin(f"{b}.attn.{nm}", bp["attn"][nm])
+        put_lin(f"{b}.attn.to_out.0", bp["attn"]["to_out"])
+        if not pre_only:
+            put_lin(f"{b}.attn.to_out_c", bp["attn"]["to_out_c"])
+            put_lin(f"{b}.ff_c.ff.0.0", bp["ff_c"]["in"])
+            put_lin(f"{b}.ff_c.ff.2", bp["ff_c"]["out"])
+        put_lin(f"{b}.ff_x.ff.0.0", bp["ff_x"]["in"])
+        put_lin(f"{b}.ff_x.ff.2", bp["ff_x"]["out"])
+    put_lin("norm_out.linear", params["norm_out"]["linear"])
+    put_lin("proj_out", params["proj_out"])
+
+    back = mmdit_params_from_state(state, cfg)
+    b_, n, nt = 2, 16, 6
+    x = RNG.standard_normal((b_, n, cfg.mel_dim)).astype(np.float32)
+    cond = RNG.standard_normal((b_, n, cfg.mel_dim)).astype(np.float32)
+    text = RNG.integers(0, cfg.text_num_embeds, (b_, nt)).astype(np.int32)
+    time = np.array([0.3, 0.7], np.float32)
+    a = M.forward_with_text(params, cfg, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text), jnp.asarray(time))
+    c = M.forward_with_text(back, cfg, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text), jnp.asarray(time))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)

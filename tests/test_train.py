@@ -158,3 +158,20 @@ def test_trainer_sample_batch_type(tmp_path):
     params = D.init(jax.random.PRNGKey(0), arch)
     _, _, upd = trainer.train(params, ds, epochs=1, resume=False)
     assert upd == 2
+
+
+def test_grad_accumulation_multisteps():
+    """k micro-steps then one applied update equals averaged-batch update."""
+    import optax
+    from f5_tts_tpu.train.step import OptimConfig, make_optimizer
+
+    cfg = OptimConfig(grad_accumulation_steps=2, num_warmup_updates=0, total_updates=10)
+    tx = make_optimizer(cfg)
+    params = {"w": jax.numpy.ones((4,))}
+    state = tx.init(params)
+    g1 = {"w": jax.numpy.full((4,), 0.5)}
+    g2 = {"w": jax.numpy.full((4,), 1.5)}
+    u1, state = tx.update(g1, state, params)
+    assert float(jax.numpy.abs(u1["w"]).sum()) == 0.0  # first micro-step: no update
+    u2, state = tx.update(g2, state, params)
+    assert float(jax.numpy.abs(u2["w"]).sum()) > 0.0  # applied on the k-th
