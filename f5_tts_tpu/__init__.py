@@ -15,3 +15,16 @@ Public API mirrors `f5_tts.api.F5TTS` (reference src/f5_tts/api.py).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy convenience re-exports (keep bare `import f5_tts_tpu` dependency-light)
+    if name == "F5TTS":
+        from f5_tts_tpu.infer.api import F5TTS
+
+        return F5TTS
+    if name == "MODEL_CONFIGS":
+        from f5_tts_tpu.models.configs import MODEL_CONFIGS
+
+        return MODEL_CONFIGS
+    raise AttributeError(name)
