@@ -77,6 +77,36 @@ class CustomDataset:
         return load_wav(path)
 
 
+class HFDataset:
+    """Wrapper for HuggingFace-hosted rows with in-row audio (reference
+    dataset.py:17-79): each row has {"audio": {"array", "sampling_rate"},
+    "text"} (or "transcript").  Mel computed on the fly."""
+
+    def __init__(self, hf_dataset, mel_cfg: MelConfig = MelConfig()):
+        self.data = hf_dataset
+        self.mel_cfg = mel_cfg
+
+    def get_frame_len(self, index: int) -> float:
+        row = self.data[index]
+        audio = row["audio"]
+        return len(audio["array"]) / audio["sampling_rate"] * self.mel_cfg.target_sample_rate / self.mel_cfg.hop_length
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, index: int) -> dict:
+        row = self.data[index]
+        audio = row["audio"]
+        wav = np.asarray(audio["array"], dtype=np.float32)
+        sr = int(audio["sampling_rate"])
+        if wav.ndim > 1:
+            wav = wav.mean(axis=-1)
+        if sr != self.mel_cfg.target_sample_rate:
+            wav = resample(wav, sr, self.mel_cfg.target_sample_rate)
+        mel = log_mel_np(wav, self.mel_cfg)[0]
+        return {"mel": mel, "text": row.get("text") or row.get("transcript", "")}
+
+
 class DynamicBatchSampler:
     """Reference dataset.py:170-241: sort all indices by frame length, pack
     greedily under ``frames_threshold`` (and ``max_samples``), shuffle the

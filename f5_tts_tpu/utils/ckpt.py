@@ -435,6 +435,24 @@ def bigvgan_params_from_state(state: dict[str, np.ndarray], cfg=None):
     return params
 
 
+def expand_text_embedding(params, new_vocab_size: int, seed: int = 0):
+    """Grow the text embedding table for an extended vocab (reference
+    finetune_gradio expand_model_embeddings:974-1012): existing rows are kept,
+    new rows init N(0, 0.02).  new_vocab_size excludes the +1 filler row."""
+    emb = params["text_embed"]["embed"]["weight"]
+    target_rows = new_vocab_size + 1
+    if emb.shape[0] >= target_rows:
+        return params
+    extra = jax.random.normal(
+        jax.random.PRNGKey(seed), (target_rows - emb.shape[0], emb.shape[1]), emb.dtype
+    ) * 0.02
+    new_emb = jnp.concatenate([emb, extra], axis=0)
+    out = dict(params)
+    out["text_embed"] = dict(params["text_embed"])
+    out["text_embed"]["embed"] = {"weight": new_emb}
+    return out
+
+
 # ---------------------------------------------------------------------------
 # native (JAX-side) snapshots
 

@@ -64,3 +64,17 @@ def test_params_astype():
     bf16 = CK.params_astype(params, jnp.bfloat16)
     leaves = jax.tree.leaves(bf16)
     assert all(l.dtype == jnp.bfloat16 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def test_expand_text_embedding():
+    from f5_tts_tpu.utils.ckpt import expand_text_embedding
+
+    params = make_params(SMALL)
+    old = np.asarray(params["text_embed"]["embed"]["weight"])
+    out = expand_text_embedding(params, SMALL.text_num_embeds + 10)
+    new = np.asarray(out["text_embed"]["embed"]["weight"])
+    assert new.shape[0] == old.shape[0] + 10
+    np.testing.assert_array_equal(new[: old.shape[0]], old)
+    # no-op when already large enough
+    same = expand_text_embedding(out, SMALL.text_num_embeds)
+    assert same["text_embed"]["embed"]["weight"].shape[0] == new.shape[0]

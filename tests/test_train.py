@@ -175,3 +175,22 @@ def test_grad_accumulation_multisteps():
     assert float(jax.numpy.abs(u1["w"]).sum()) == 0.0  # first micro-step: no update
     u2, state = tx.update(g2, state, params)
     assert float(jax.numpy.abs(u2["w"]).sum()) > 0.0  # applied on the k-th
+
+
+def test_hf_dataset_wrapper():
+    from f5_tts_tpu.train.dataset import HFDataset
+
+    rng = np.random.default_rng(0)
+    rows = [
+        {"audio": {"array": rng.standard_normal(12000), "sampling_rate": 24000},
+         "text": "row one"},
+        {"audio": {"array": rng.standard_normal(8000), "sampling_rate": 16000},
+         "transcript": "row two"},
+    ]
+    ds = HFDataset(rows)
+    assert len(ds) == 2
+    item0 = ds[0]
+    assert item0["mel"].shape[1] == 100 and item0["text"] == "row one"
+    item1 = ds[1]
+    assert item1["text"] == "row two"
+    assert ds.get_frame_len(0) > ds.get_frame_len(1)
