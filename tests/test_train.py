@@ -184,7 +184,7 @@ def test_hf_dataset_wrapper():
     rows = [
         {"audio": {"array": rng.standard_normal(12000), "sampling_rate": 24000},
          "text": "row one"},
-        {"audio": {"array": rng.standard_normal(8000), "sampling_rate": 16000},
+        {"audio": {"array": rng.standard_normal(6000), "sampling_rate": 16000},
          "transcript": "row two"},
     ]
     ds = HFDataset(rows)
