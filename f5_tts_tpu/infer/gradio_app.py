@@ -95,6 +95,46 @@ def build_app(tts=None):
                         remove_silence, cross_fade, nfe, speed, seed],
                 outputs=[out_audio, out_seed],
             )
+        with gr.Tab("Voice Chat"):
+            gr.Markdown(
+                "Conversational TTS (reference voice-chat tab): needs a local"
+                " chat LLM snapshot via $F5_TTS_TPU_CHAT_MODEL (e.g."
+                " Qwen2.5-3B-Instruct) and a local Whisper for speech input."
+            )
+            chat_ref = gr.Audio(label="Voice reference", type="filepath")
+            chat_ref_text = gr.Textbox(label="Voice reference text")
+            chat_in = gr.Textbox(label="Say something")
+            chat_out_text = gr.Textbox(label="Assistant reply")
+            chat_out_audio = gr.Audio(label="Spoken reply")
+
+            def chat_turn(user_text, ref_audio_p, ref_text_p, model_name, ckpt_file, vocab_file):
+                import os as _os
+
+                model_path = _os.environ.get("F5_TTS_TPU_CHAT_MODEL")
+                if not model_path:
+                    return "(set $F5_TTS_TPU_CHAT_MODEL to a local chat model)", None
+                from transformers import pipeline as hf_pipeline
+
+                chat = hf_pipeline("text-generation", model=model_path, device="cpu")
+                sys_prompt = (
+                    "You are not an AI assistant, you are whoever the user says you are."
+                    " Keep your answers under two sentences."
+                )
+                out = chat(
+                    [{"role": "system", "content": sys_prompt},
+                     {"role": "user", "content": user_text}],
+                    max_new_tokens=120,
+                )
+                reply = out[0]["generated_text"][-1]["content"]
+                tts_obj = ensure_model(model_name, ckpt_file, vocab_file)
+                wav, sr, _ = tts_obj.infer(ref_audio_p, ref_text_p, reply)
+                return reply, (sr, (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+
+            gr.Button("Send").click(
+                chat_turn,
+                inputs=[chat_in, chat_ref, chat_ref_text, model_name, ckpt_file, vocab_file],
+                outputs=[chat_out_text, chat_out_audio],
+            )
         with gr.Tab("Multi-Speech"):
             gr.Markdown("Use `[main]` voice tags in the text.")
             m_audio = gr.Audio(label="Main voice reference", type="filepath")

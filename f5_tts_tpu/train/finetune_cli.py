@@ -68,6 +68,8 @@ def main(argv=None):
         else:
             state = ckpt_util.load_torch_state(dst)
             params = ckpt_util.params_from_state(state, model_cfg.arch)
+        # extended vocab: grow the embedding table (reference expand_model_embeddings)
+        params = ckpt_util.expand_text_embedding(params, vocab_size)
     else:
         params = backbone.init(jax.random.PRNGKey(0), model_cfg.arch)
 
