@@ -41,3 +41,33 @@ def test_full_nfe16_mel_mae_under_baseline_threshold():
     assert mae < 1e-2, f"e2e mel MAE {mae} exceeds the 1e-2 BASELINE threshold"
     # fp32 component parity holds much tighter than the acceptance bound
     assert mae < 1e-3, mae
+
+
+def test_bf16_inference_deviation_bounded():
+    """bf16 (the TPU serving dtype) tracks the fp32 sampler within a loose
+    envelope on log-mel scale — sanity check that mixed precision doesn't
+    destabilize the ODE."""
+    from f5_tts_tpu.utils.ckpt import params_astype
+
+    cfg = SMALL
+    params = make_params(cfg)
+    rng = np.random.default_rng(99)
+    b, n = 1, 64
+    cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    lens = np.array([16], np.int32)
+    cond[0, 16:] = 0.0
+    text = rng.integers(0, cfg.text_num_embeds, (b, 10)).astype(np.int32)
+    duration = np.array([56], np.int32)
+    noise = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    opts = C.SampleOptions(steps=16)
+
+    out32 = np.asarray(C.sample(params, cfg, jnp.asarray(cond), jnp.asarray(text),
+                                jnp.asarray(duration), jnp.asarray(noise),
+                                lens=jnp.asarray(lens), opts=opts, backend="sdpa"))
+    p16 = params_astype(params, jnp.bfloat16)
+    out16 = np.asarray(C.sample(p16, cfg, jnp.asarray(cond, jnp.bfloat16), jnp.asarray(text),
+                                jnp.asarray(duration), jnp.asarray(noise, jnp.bfloat16),
+                                lens=jnp.asarray(lens), opts=opts, backend="sdpa")).astype(np.float32)
+    mae = np.abs(out32 - out16).mean()
+    assert np.isfinite(out16).all()
+    assert mae < 0.15, mae  # bf16 step noise stays well under perceptual scale
