@@ -22,8 +22,14 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=16)
-def rotary_freqs(max_len: int, dim: int, theta: float = 10000.0) -> np.ndarray:
-    """Interleaved rotary angle table [max_len, dim]: [f0, f0, f1, f1, ...]."""
+def rotary_freqs(max_len: int, dim: int, theta: float = 10000.0,
+                 theta_rescale_factor: float = 1.0) -> np.ndarray:
+    """Interleaved rotary angle table [max_len, dim]: [f0, f0, f1, f1, ...].
+
+    ``theta_rescale_factor`` is the NTK-aware long-context rescale hook the
+    reference exposes but ships unused (modules.py:207-212)."""
+    if theta_rescale_factor != 1.0:
+        theta = theta * theta_rescale_factor ** (dim / (dim - 2))
     inv_freq = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
     freqs = np.outer(np.arange(max_len, dtype=np.float64), inv_freq)  # [n, dim/2]
     return np.repeat(freqs, 2, axis=-1).astype(np.float32)  # [n, dim]
