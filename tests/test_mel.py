@@ -99,6 +99,47 @@ def test_log_mel_vocos_matches_torch_pipeline():
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+def librosa_slaney_fbank(n_freqs=513, n_mels=100, sr=24000):
+    """librosa.filters.mel defaults (slaney scale + slaney norm), re-derived."""
+    fftfreqs = np.linspace(0, sr / 2.0, n_freqs)
+
+    def hz_to_mel(f):
+        f = np.asarray(f, dtype=np.float64)
+        f_sp = 200.0 / 3
+        mels = f / f_sp
+        min_log_hz = 1000.0
+        logstep = np.log(6.4) / 27.0
+        return np.where(f >= min_log_hz, min_log_hz / f_sp + np.log(np.maximum(f, 1e-12) / min_log_hz) / logstep, mels)
+
+    def mel_to_hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        f_sp = 200.0 / 3
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp
+        logstep = np.log(6.4) / 27.0
+        return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), f_sp * m)
+
+    mel_f = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0), n_mels + 2))
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    weights = np.maximum(0, np.minimum(-ramps[:-2] / fdiff[:-1, None], ramps[2:] / fdiff[1:, None]))
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    return (weights * enorm[:, None]).T  # [n_freqs, n_mels]
+
+
+def test_log_mel_bigvgan_matches_torch_pipeline():
+    rng = np.random.default_rng(6)
+    wav = (0.4 * rng.standard_normal((1, 25600))).astype(np.float32)
+    cfg = MelConfig(mel_spec_type="bigvgan")
+    got = np.asarray(log_mel_spectrogram(wav, cfg))
+    mag = torch_stft_mag(wav, center=False, eps=1e-9)
+    mel = mag @ librosa_slaney_fbank()
+    want = np.log(np.clip(mel, 1e-5, None))
+    assert got.shape == want.shape
+    assert np.abs(got - want).mean() < 1e-4
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
 def test_log_mel_bigvgan_shape():
     cfg = MelConfig(mel_spec_type="bigvgan")
     wav = np.zeros((1, 25600), dtype=np.float32)
