@@ -177,13 +177,29 @@ class Trainer:
         skip = start_update % max(updates_per_epoch, 1)
         start_epoch = start_update // max(updates_per_epoch, 1)
 
-        for epoch in range(start_epoch, epochs):
-            sampler.set_epoch(epoch)
+        import queue as _queue
+        import threading as _threading
+
+        def batch_producer(skip_n, out_q: "_queue.Queue"):
+            """Host-side load+collate runs ahead of the device (the reference
+            leans on DataLoader workers; here a producer thread + queue)."""
             for bi, batch_idx in enumerate(sampler):
-                if epoch == start_epoch and bi < skip:  # deterministic resume
+                if bi < skip_n:
                     continue
                 items = [dataset[i] for i in batch_idx]
-                batch = collate_batch(items, self.vocab, self.model_cfg.tokenizer)
+                out_q.put(collate_batch(items, self.vocab, self.model_cfg.tokenizer))
+            out_q.put(None)
+
+        for epoch in range(start_epoch, epochs):
+            sampler.set_epoch(epoch)
+            q: "_queue.Queue" = _queue.Queue(maxsize=4)
+            skip_n = skip if epoch == start_epoch else 0
+            producer = _threading.Thread(target=batch_producer, args=(skip_n, q), daemon=True)
+            producer.start()
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
                 if bsh is not None:
                     # pad batch to a multiple of the data-parallel size
                     dp = self.mesh.shape["data"]
