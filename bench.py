@@ -48,10 +48,12 @@ def main():
     hop = model_cfg.mel.hop_length
     sr = model_cfg.mel.target_sample_rate
     rng = np.random.default_rng(0)
-    ref_frames = 282  # 3.0 s
-    duration = 1023  # total frames -> bucket 1024
+    if on_tpu:
+        ref_frames, duration, n_iter = 282, 1023, 10
+    else:  # CPU smoke fallback so the bench never wedges without a TPU
+        ref_frames, duration, n_iter = 64, 255, 2
     ref_mel = rng.standard_normal((ref_frames, model_cfg.mel.n_mel_channels)).astype(np.float32)
-    text_ids = rng.integers(0, 2545, size=180).astype(np.int32)
+    text_ids = rng.integers(0, 2545, size=min(180, duration // 2)).astype(np.int32)
 
     def run(seed):
         mels, wavs, gen_frames = engine.generate_batch(
@@ -67,7 +69,6 @@ def main():
     audio_s = len(wav) / sr
 
     # serial (single-stream latency) RTF
-    n_iter = 10
     t0 = time.perf_counter()
     for i in range(n_iter):
         wav = run(i + 1)
@@ -79,7 +80,7 @@ def main():
     # utterance i+1 overlaps the host fetch of utterance i.
     from concurrent.futures import ThreadPoolExecutor
 
-    n_iter = 12
+    n_iter = 12 if on_tpu else 2
     with ThreadPoolExecutor(max_workers=2) as ex:
         t0 = time.perf_counter()
         results = list(ex.map(run, range(100, 100 + n_iter)))
