@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Serving deployment pipeline (reference runtime/triton_trtllm/run.sh stages):
+#   1. warm the compilation cache   2. start the HTTP server
+#   3. smoke-test a request         4. offline RTF benchmark
+# Usage: scripts/run_serving.sh <ckpt_file> <vocos_ckpt> <ref_wav> "<ref text>"
+
+set -euo pipefail
+CKPT=${1:?ckpt file}
+VOC=${2:?vocos ckpt}
+REF=${3:?ref wav}
+REF_TEXT=${4:?ref text}
+PORT=${PORT:-8000}
+
+echo "[1/4] warming compilation cache"
+python scripts/warmup_cache.py --model F5TTS_v1_Base --nfe 16 32 --buckets 512 1024 2048
+
+echo "[2/4] starting HTTP server on :$PORT"
+f5-tts_http-server --ckpt_file "$CKPT" --vocoder_local_path "$VOC" \
+  --ref_audio "$REF" --ref_text "$REF_TEXT" --port "$PORT" &
+SERVER_PID=$!
+trap 'kill $SERVER_PID 2>/dev/null || true' EXIT
+sleep 5
+
+echo "[3/4] smoke test"
+python - <<PY
+from f5_tts_tpu.infer.http_server import request_tts
+wav, sr = request_tts("Hello from the serving pipeline.", port=$PORT)
+print(f"got {len(wav)/sr:.2f}s of audio")
+PY
+
+echo "[4/4] offline benchmark"
+python -m f5_tts_tpu.runtime.benchmark --backend-type flash --nfe 16 \
+  --ckpt_file "$CKPT" --vocoder_local_path "$VOC"
