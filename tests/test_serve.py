@@ -105,3 +105,14 @@ def test_duplicate_test_sampler_path():
                    opts=C.SampleOptions(steps=3, t_start=0.1, use_epss=False),
                    duplicate_test=True, backend="sdpa")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_runtime_benchmark_tiny():
+    from f5_tts_tpu.runtime import benchmark as RB
+
+    rep = RB.main([
+        "--model", "F5TTS_Tiny", "--backend-type", "sdpa", "--dtype", "fp32",
+        "--nfe", "2", "--num-prompts", "3", "--batch-size", "2",
+    ])
+    assert rep["rtf"] > 0 and rep["total_audio_s"] > 0
+    assert rep["backend"] == "sdpa"
