@@ -25,4 +25,6 @@ def chunk_text(text: str, max_chars: int = 135) -> list[str]:
             current = piece
     if current:
         chunks.append(current.strip())
-    return chunks
+    # drop whitespace-only chunks (the reference can emit one for degenerate
+    # whitespace input; an empty chunk would synthesize a junk blob)
+    return [c for c in chunks if c]
