@@ -53,3 +53,27 @@ def test_vocos_default_config_shapes():
     mel = jnp.zeros((1, 11, 100))
     wav = V.decode(params, mel, cfg)
     assert wav.shape == (1, 10 * 256)
+
+
+def test_padded_decode_matches_exact_length_decode():
+    """The engine vocodes a bucket-padded mel (tail filled with the log-mel
+    silence floor) and trims; verify the trimmed waveform matches decoding the
+    exact-length mel (design check for engine.py's SILENCE_FLOOR padding)."""
+    cfg = V.VocosConfig(input_channels=20, dim=64, intermediate_dim=128, num_layers=3)
+    params = V.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(8)
+    n_real, n_pad = 40, 64
+    mel_real = rng.standard_normal((1, n_real, 20)).astype(np.float32)
+    floor = float(np.log(1e-5))
+    mel_padded = np.full((1, n_pad, 20), floor, np.float32)
+    mel_padded[:, :n_real] = mel_real
+
+    exact = np.asarray(V.decode(params, jnp.asarray(mel_real), cfg))[0]
+    padded = np.asarray(V.decode(params, jnp.asarray(mel_padded), cfg))[0][: len(exact)]
+    # boundary width = ConvNeXt receptive field (embed k7 + num_layers dwconv
+    # k7 => +-3*(layers+1) frames) + the OLA window
+    rf_frames = 3 * (cfg.num_layers + 1) + cfg.n_fft // cfg.hop_length
+    tail = rf_frames * cfg.hop_length
+    np.testing.assert_allclose(padded[:-tail], exact[:-tail], atol=1e-4)
+    # the boundary region deviates only at small amplitude (~-45 dB scale)
+    assert np.abs(padded[-tail:] - exact[-tail:]).max() < 0.05
