@@ -105,7 +105,8 @@ def _sample_and_decode(
 
         wav = bigvgan.decode(voc_params, gen_mel.astype(jnp.float32))
     else:
-        wav = vocos.decode(voc_params, gen_mel.astype(jnp.float32))
+        # lens-masked decode == decoding each sample's exact-length mel
+        wav = vocos.decode(voc_params, gen_mel.astype(jnp.float32), lens=gen_len)
     # int16 on the wire: the host<->device link is the serving bottleneck
     # (reference ships float32 over gRPC; we halve-and-halve the bytes)
     wav_i16 = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)

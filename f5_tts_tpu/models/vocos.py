@@ -74,11 +74,31 @@ def init(key: jax.Array, cfg: VocosConfig = VocosConfig()):
     }
 
 
-def decode(params, mel: jax.Array, cfg: VocosConfig = VocosConfig(), length: int | None = None) -> jax.Array:
-    """[b, n, n_mels] log-mel -> [b, T] waveform, T = (n-1)*hop by default."""
+def decode(
+    params,
+    mel: jax.Array,
+    cfg: VocosConfig = VocosConfig(),
+    length: int | None = None,
+    lens: jax.Array | None = None,
+) -> jax.Array:
+    """[b, n, n_mels] log-mel -> [b, T] waveform, T = (n-1)*hop by default.
+
+    ``lens`` ([b] int) makes decoding of a bucket-padded mel bit-identical to
+    decoding each sample's exact-length mel: padded frames are masked at every
+    conv boundary (zeros == the conv zero-padding an exact-length input sees)
+    and excluded from the ISTFT overlap-add envelope.
+    """
+    keep = None
+    if lens is not None:
+        keep = (jnp.arange(mel.shape[1])[None, :] < lens[:, None])[..., None].astype(mel.dtype)
+        mel = mel * keep
     x = L.conv1d(params["embed"], mel)
+    if keep is not None:
+        x = x * keep
     x = L.layer_norm(x, params["norm"]["weight"].astype(x.dtype), params["norm"]["bias"].astype(x.dtype), eps=1e-6)
     for bp in params["blocks"]:
+        if keep is not None:
+            x = x * keep  # re-zero before each dwconv so padding never leaks
         x = convnext_v1(bp, x)
     x = L.layer_norm(
         x, params["final_norm"]["weight"].astype(x.dtype), params["final_norm"]["bias"].astype(x.dtype), eps=1e-6
@@ -89,4 +109,4 @@ def decode(params, mel: jax.Array, cfg: VocosConfig = VocosConfig(), length: int
     mag = jnp.exp(jnp.clip(mag.astype(jnp.float32), max=1e2))
     re = mag * jnp.cos(phase.astype(jnp.float32))
     im = mag * jnp.sin(phase.astype(jnp.float32))
-    return istft(re, im, cfg.stft, length=length)
+    return istft(re, im, cfg.stft, length=length, frame_lens=lens)

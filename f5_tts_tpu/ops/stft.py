@@ -149,21 +149,38 @@ def _istft_basis(n_fft: int, win_length: int):
     return (cos_b * w).astype(np.float32), (sin_b * w).astype(np.float32), (w * w).astype(np.float32)
 
 
-def istft(re: jax.Array, im: jax.Array, cfg: STFTConfig, length: int | None = None) -> jax.Array:
+def istft(
+    re: jax.Array,
+    im: jax.Array,
+    cfg: STFTConfig,
+    length: int | None = None,
+    frame_lens: jax.Array | None = None,
+) -> jax.Array:
     """Inverse STFT matching ``torch.istft(center=True)``.
 
     re/im: [b, n_frames, n_freq] -> waveform [b, length].
+
+    ``frame_lens`` ([b] int) restricts synthesis to the first N frames per
+    sample: trailing frames are zeroed AND excluded from the window-envelope
+    normalization, so the result is bit-identical to running istft on an
+    exact-length [b, N, f] input (static-shape bucketing without boundary
+    artifacts).
     """
     cos_b, sin_b, wsq = _istft_basis(cfg.n_fft, cfg.win_length)
     cos_b = jnp.asarray(cos_b, dtype=re.dtype)
     sin_b = jnp.asarray(sin_b, dtype=re.dtype)
     frames = jnp.einsum("btf,fn->btn", re, cos_b) + jnp.einsum("btf,fn->btn", im, sin_b)
-    y = overlap_add(frames, cfg.hop_length)
     n_frames = re.shape[1]
-    env = overlap_add(
-        jnp.broadcast_to(jnp.asarray(wsq, dtype=re.dtype), (1, n_frames, cfg.n_fft)),
-        cfg.hop_length,
-    )
+    wsq_j = jnp.asarray(wsq, dtype=re.dtype)
+    if frame_lens is not None:
+        valid = (jnp.arange(n_frames)[None, :] < frame_lens[:, None]).astype(re.dtype)
+        frames = frames * valid[..., None]
+        env = overlap_add(valid[..., None] * wsq_j[None, None, :], cfg.hop_length)
+    else:
+        env = overlap_add(
+            jnp.broadcast_to(wsq_j, (1, n_frames, cfg.n_fft)), cfg.hop_length
+        )
+    y = overlap_add(frames, cfg.hop_length)
     y = y / jnp.maximum(env, 1e-11)
     if cfg.center:
         half = cfg.n_fft // 2
