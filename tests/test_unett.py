@@ -152,3 +152,50 @@ def test_unett_ckpt_roundtrip_forward():
     c = U.forward_with_text(back, cfg, jnp.asarray(x), jnp.asarray(cond),
                             jnp.asarray(text), jnp.asarray(time), backend="sdpa")
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_unett_sampler_matches_torch_oracle():
+    """Full Euler CFG loop with the UNetT backbone vs the torch oracle."""
+    from f5_tts_tpu.models import cfm as C
+
+    cfg = SMALL
+    params = U.init(jax.random.PRNGKey(6), cfg)
+    rng = np.random.default_rng(23)
+    b, n, nt = 1, 40, 8
+    cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    lens = np.array([10], np.int32)
+    cond[0, 10:] = 0.0
+    text = rng.integers(0, cfg.text_num_embeds, (b, nt)).astype(np.int32)
+    duration = np.array([36], np.int32)
+    noise = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+
+    opts = C.SampleOptions(steps=5, cfg_strength=2.0, sway_sampling_coef=-1.0)
+    got = np.asarray(C.sample(params, cfg, jnp.asarray(cond), jnp.asarray(text),
+                              jnp.asarray(duration), jnp.asarray(noise),
+                              lens=jnp.asarray(lens), opts=opts, backend="sdpa"))
+
+    # torch oracle Euler loop
+    import torch as T
+
+    cond_t = T.from_numpy(cond)
+    text_t = T.from_numpy(text).long()
+    lens_t = T.from_numpy(lens).long()
+    dur_t = T.from_numpy(duration).long()
+    cond_mask = T.arange(n)[None, :] < lens_t[:, None]
+    step_cond = T.where(cond_mask.unsqueeze(-1), cond_t, T.zeros_like(cond_t))
+    text_len = (text_t != -1).sum(dim=-1)
+    dur_t = T.maximum(T.maximum(text_len, lens_t) + 1, dur_t).clamp(max=n)
+    mask = T.arange(n)[None, :] < dur_t[:, None]
+    y = T.where(mask.unsqueeze(-1), T.from_numpy(noise), T.zeros_like(cond_t))
+    ts = C.timestep_schedule(5, sway_sampling_coef=-1.0, use_epss=True)
+    for k in range(5):
+        t = T.full((b,), float(ts[k]))
+        pred = OU.forward(params, cfg, y, step_cond, text_t, t, mask=mask)
+        null = OU.forward(params, cfg, y, step_cond, text_t, t, mask=mask,
+                          drop_audio_cond=True, drop_text=True)
+        v = pred + (pred - null) * 2.0
+        y = y + (float(ts[k + 1]) - float(ts[k])) * v
+    out = T.where(cond_mask.unsqueeze(-1), cond_t, y)
+    want = T.where(mask.unsqueeze(-1), out, T.zeros_like(out)).numpy()
+    assert np.abs(got - want).mean() < 1e-3
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-2)
