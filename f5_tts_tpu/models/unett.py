@@ -137,7 +137,18 @@ def forward(
     h = jnp.concatenate([t_emb[:, None, :], h], axis=1)
     if mask is not None:
         mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
-    rope = jnp.asarray(rotary_freqs(cfg.max_pos + 1, cfg.dim_head)[: n + 1])
+    # pad to a 256-multiple so the Pallas flash kernel stays eligible (the
+    # time token makes the sequence n+1); padding rows are masked out
+    seq = n + 1
+    pad_to = -(-seq // 256) * 256 if backend in ("auto", "flash") and seq > 256 else seq
+    pad_amt = pad_to - seq
+    if pad_amt:
+        h = jnp.pad(h, ((0, 0), (0, pad_amt), (0, 0)))
+        if mask is None:
+            mask = jnp.arange(pad_to)[None, :] < seq
+        else:
+            mask = jnp.pad(mask, ((0, 0), (0, pad_amt)), constant_values=False)
+    rope = jnp.asarray(rotary_freqs(cfg.max_pos + 1, cfg.dim_head)[:pad_to])
 
     def first_fn(carry, bp):
         out = _block(bp, carry, mask, rope, cfg, backend)
@@ -157,7 +168,7 @@ def forward(
     # pops are LIFO: reverse the collected skips
     h, _ = jax.lax.scan(second_fn, h, (params["second"], jnp.flip(skips, axis=0)))
 
-    h = rms_norm_xt(params["norm_out"], h)[:, 1:, :]
+    h = rms_norm_xt(params["norm_out"], h)[:, 1 : n + 1, :]
     return L.linear(params["proj_out"], h)
 
 

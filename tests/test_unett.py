@@ -199,3 +199,24 @@ def test_unett_sampler_matches_torch_oracle():
     want = T.where(mask.unsqueeze(-1), out, T.zeros_like(out)).numpy()
     assert np.abs(got - want).mean() < 1e-3
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-2)
+
+
+def test_unett_flash_padding_path_matches_unpadded():
+    """backend='auto'/'flash' pads the time-token sequence to a 256-multiple;
+    must be numerically identical to the unpadded sdpa path (CPU -> flash gate
+    falls back to sdpa but the padding branch still executes)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, max_pos=1024)
+    params = U.init(jax.random.PRNGKey(8), cfg)
+    rng = np.random.default_rng(31)
+    b, n = 1, 512  # seq -> 513 -> padded 768 under auto
+    x = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    text = rng.integers(0, cfg.text_num_embeds, (b, 12)).astype(np.int32)
+    time = np.array([0.5], np.float32)
+    a = np.asarray(U.forward_with_text(params, cfg, jnp.asarray(x), jnp.asarray(cond),
+                                       jnp.asarray(text), jnp.asarray(time), backend="sdpa"))
+    c = np.asarray(U.forward_with_text(params, cfg, jnp.asarray(x), jnp.asarray(cond),
+                                       jnp.asarray(text), jnp.asarray(time), backend="auto"))
+    np.testing.assert_allclose(a, c, atol=1e-4)
