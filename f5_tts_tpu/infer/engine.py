@@ -57,7 +57,9 @@ class EngineOptions:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("model_cfg", "opts", "decode", "vocoder_type"))
+@functools.partial(
+    jax.jit, static_argnames=("model_cfg", "opts", "decode", "vocoder_type", "vocoder_cfg")
+)
 def _sample_and_decode(
     dit_params,
     voc_params,
@@ -70,6 +72,7 @@ def _sample_and_decode(
     seeds,  # [b] int32
     decode: bool = True,
     vocoder_type: str = "vocos",
+    vocoder_cfg=None,  # VocosConfig | BigVGANConfig | None (defaults)
 ):
     b, n, d = cond.shape
 
@@ -103,10 +106,12 @@ def _sample_and_decode(
     if vocoder_type == "bigvgan":
         from f5_tts_tpu.models import bigvgan
 
-        wav = bigvgan.decode(voc_params, gen_mel.astype(jnp.float32))
+        wav = bigvgan.decode(voc_params, gen_mel.astype(jnp.float32),
+                             vocoder_cfg or bigvgan.BigVGANConfig())
     else:
         # lens-masked decode == decoding each sample's exact-length mel
-        wav = vocos.decode(voc_params, gen_mel.astype(jnp.float32), lens=gen_len)
+        wav = vocos.decode(voc_params, gen_mel.astype(jnp.float32),
+                           vocoder_cfg or vocos.VocosConfig(), lens=gen_len)
     # int16 on the wire: the host<->device link is the serving bottleneck
     # (reference ships float32 over gRPC; we halve-and-halve the bytes)
     wav_i16 = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
@@ -134,6 +139,7 @@ def _sample_and_decode_from_wav(
     n: int,  # mel bucket (frames)
     decode: bool = True,
     vocoder_type: str = "vocos",
+    vocoder_cfg=None,
 ):
     """Fully fused path: ref-audio mel extraction + CFM sampling + vocoder in
     ONE graph call — one host<->device round trip per utterance batch (the
@@ -145,6 +151,7 @@ def _sample_and_decode_from_wav(
     return _sample_and_decode(
         dit_params, voc_params, model_cfg, opts, cond.astype(compute_dtype),
         text_ids, lens, duration, seeds, decode=decode, vocoder_type=vocoder_type,
+        vocoder_cfg=vocoder_cfg,
     )
 
 
@@ -160,6 +167,7 @@ class InferenceEngine:
         buckets=DEFAULT_BUCKETS,
         options: EngineOptions = EngineOptions(),
         vocoder_type: str | None = None,
+        vocoder_cfg=None,
     ):
         self.model_cfg = model_cfg
         self.dtype = dtype
@@ -168,6 +176,7 @@ class InferenceEngine:
         self.dit_params = params_astype(dit_params, dtype)
         self.vocoder_params = vocoder_params  # vocoder runs fp32 (cheap, quality-critical)
         self.vocoder_type = vocoder_type or model_cfg.mel.mel_spec_type
+        self.vocoder_cfg = vocoder_cfg  # None -> backend defaults
         self.hop = model_cfg.mel.hop_length
 
     # ------------------------------------------------------------------ mel
@@ -222,6 +231,7 @@ class InferenceEngine:
             jnp.asarray(np.asarray(seeds, np.int32)),
             decode=decode and self.vocoder_params is not None,
             vocoder_type=self.vocoder_type,
+            vocoder_cfg=self.vocoder_cfg,
         )
         mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
         wavs = []
@@ -274,6 +284,7 @@ class InferenceEngine:
             n,
             decode=decode and self.vocoder_params is not None,
             vocoder_type=self.vocoder_type,
+            vocoder_cfg=self.vocoder_cfg,
         )
         mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
         wavs = []

@@ -156,3 +156,33 @@ def test_speech_edit(tmp_path):
         seed=1,
     )
     assert out_sr == sr and len(out) > 1000 and np.isfinite(out).all()
+
+
+def test_infer_process_bigvgan_long_text():
+    """BASELINE config 4: bigvgan vocoder backend + long chunked text."""
+    import dataclasses
+
+    from f5_tts_tpu.models import bigvgan as BV
+
+    arch = DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=100,
+                     text_num_embeds=2545, text_dim=32, conv_layers=1, max_pos=8192)
+    cfg = ModelConfig(name="tiny_bv", arch=arch,
+                      mel=MelConfig(mel_spec_type="bigvgan"), tokenizer="char")
+    params = D.init(jax.random.PRNGKey(0), arch)
+    bv_cfg = BV.BigVGANConfig(
+        num_mels=100, upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    voc = BV.init(jax.random.PRNGKey(1), bv_cfg)
+    eng = InferenceEngine(params, cfg, vocoder_params=voc,
+                          options=EngineOptions(nfe_step=2), vocoder_cfg=bv_cfg)
+    vocab, _ = get_tokenizer(None, "char")
+    sr = 24000
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+    long_text = "this is sentence one. " * 12
+    wav, out_sr, spec = infer_process(
+        eng, (ref, sr), "a tone reference.", long_text, vocab, "char",
+        opts=PipelineOptions(seed=5), show_info=lambda *a, **k: None,
+    )
+    assert wav is not None and len(wav) > 24000 and np.isfinite(wav).all()
