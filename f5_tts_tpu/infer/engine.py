@@ -124,7 +124,7 @@ def _ref_mel(wav_padded, mel_cfg: MelConfig):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model_cfg", "opts", "decode", "vocoder_type", "n")
+    jax.jit, static_argnames=("model_cfg", "opts", "decode", "vocoder_type", "vocoder_cfg", "n")
 )
 def _sample_and_decode_from_wav(
     dit_params,
