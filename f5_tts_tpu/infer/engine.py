@@ -131,7 +131,8 @@ def _sample_and_decode_from_wav(
     voc_params,
     model_cfg: ModelConfig,
     opts: EngineOptions,
-    wav_padded,  # [b, S] host-reflect-padded ref wavs, zero-extended
+    wav_i16,  # [b, S_ref] int16 host-reflect-padded ref wavs (ref-length bucket)
+    wav_scale,  # [b] f32: per-sample dequant scale (peak-normalized int16)
     lens,  # [b] ref frames
     text_ids,  # [b, n]
     duration,  # [b]
@@ -144,8 +145,15 @@ def _sample_and_decode_from_wav(
     """Fully fused path: ref-audio mel extraction + CFM sampling + vocoder in
     ONE graph call — one host<->device round trip per utterance batch (the
     split path costs two; the reference's Triton server does mel on the host,
-    model.py:140-158)."""
-    mel = log_mel_prepadded(wav_padded, model_cfg.mel)[:, :n, :]
+    model.py:140-158).  The ref wav ships int16 at a REF-length bucket (not the
+    generation bucket) to keep the host->device bytes minimal."""
+    wav = wav_i16.astype(jnp.float32) * (wav_scale[:, None] / 32767.0)
+    mel = log_mel_prepadded(wav, model_cfg.mel)  # [b, m_ref, d]
+    m_ref = mel.shape[1]
+    if m_ref < n:
+        mel = jnp.pad(mel, ((0, 0), (0, n - m_ref), (0, 0)))
+    else:
+        mel = mel[:, :n, :]
     cond = jnp.where(jnp.arange(n)[None, :, None] < lens[:, None, None], mel, 0.0)
     compute_dtype = jax.tree.leaves(dit_params)[0].dtype
     return _sample_and_decode(
@@ -260,10 +268,16 @@ class InferenceEngine:
         n = pick_bucket(max(durations), self.buckets)
         ref_frames = len(ref_wav) // self.hop  # reference frame count (pipeline.py)
         pad = stft_pad_amount(mel_cfg)
-        S = n * self.hop + mel_cfg.n_fft
+        # ref wav ships at a REF-length bucket, int16 — minimal upload bytes
+        ref_bucket = pick_bucket(min(ref_frames + 1, n), self.buckets)
+        S = ref_bucket * self.hop + mel_cfg.n_fft
         padded = np.pad(np.asarray(ref_wav, np.float32), pad, mode="reflect")
         padded = np.pad(padded, (0, max(0, S - len(padded))))[:S]
-        wavs_in = np.broadcast_to(padded, (b, S))
+        peak = max(float(np.abs(padded).max()), 1e-6)
+        scale = max(peak, 1.0)  # peak-normalize only if it would clip
+        wav_i16 = np.round(padded / scale * 32767.0).astype(np.int16)
+        wavs_in = np.broadcast_to(wav_i16, (b, S))
+        wav_scale = np.full((b,), scale, np.float32)
         lens = np.full((b,), min(ref_frames, n), np.int32)
         text_ids = np.full((b, n), -1, np.int32)
         for i, t in enumerate(text_ids_list):
@@ -277,6 +291,7 @@ class InferenceEngine:
             self.model_cfg,
             self.options,
             jnp.asarray(wavs_in),
+            jnp.asarray(wav_scale),
             jnp.asarray(lens),
             jnp.asarray(text_ids),
             jnp.asarray(duration),
