@@ -116,3 +116,42 @@ def test_runtime_benchmark_tiny():
     ])
     assert rep["rtf"] > 0 and rep["total_audio_s"] > 0
     assert rep["backend"] == "sdpa"
+
+
+def test_tensor_parallel_inference_matches_replicated():
+    """DiT inference with Megatron-style TP param sharding over a model-axis
+    mesh must match the unsharded result (XLA inserts the all-reduces)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from f5_tts_tpu.models import dit as D
+    from f5_tts_tpu.models.configs import DiTConfig
+    from f5_tts_tpu.parallel.mesh import dit_param_specs, make_mesh, shard_params
+
+    cfg = DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=10,
+                    text_num_embeds=40, text_dim=24, conv_layers=1, max_pos=128)
+    params = D.init(jax.PRNGKey(0) if hasattr(jax, "PRNGKey") else jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    b, n = 2, 32
+    x = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, 40, (b, 8)).astype(np.int32))
+    time_ = jnp.asarray(np.array([0.3, 0.8], np.float32))
+
+    want = np.asarray(D.forward_with_text(params, cfg, x, cond, text, time_, backend="sdpa"))
+
+    mesh = make_mesh(data=2, model=4)
+    specs = dit_param_specs(params)
+    sharded = shard_params(params, mesh, specs)
+    data_sh = NamedSharding(mesh, P("data"))
+    xb = jax.device_put(x, data_sh)
+    cb = jax.device_put(cond, data_sh)
+    tb = jax.device_put(text, data_sh)
+    tt = jax.device_put(time_, data_sh)
+    with mesh:
+        got = np.asarray(
+            jax.jit(lambda p, a, c, t, ti: D.forward_with_text(p, cfg, a, c, t, ti, backend="sdpa"))(
+                sharded, xb, cb, tb, tt
+            )
+        )
+    np.testing.assert_allclose(got, want, atol=5e-5)
