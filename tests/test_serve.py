@@ -130,7 +130,7 @@ def test_tensor_parallel_inference_matches_replicated():
 
     cfg = DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=10,
                     text_num_embeds=40, text_dim=24, conv_layers=1, max_pos=128)
-    params = D.init(jax.PRNGKey(0) if hasattr(jax, "PRNGKey") else jax.random.PRNGKey(0), cfg)
+    params = D.init(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(3)
     b, n = 2, 32
     x = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
