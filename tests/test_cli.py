@@ -153,3 +153,33 @@ def test_package_level_exports():
 
     assert f5_tts_tpu.F5TTS.__name__ == "F5TTS"
     assert "F5TTS_v1_Base" in f5_tts_tpu.MODEL_CONFIGS
+
+
+def test_api_loads_released_safetensors_format(ref_wav_path, tmp_path):
+    """Full F5TTS API flow from an EMA .safetensors in the released layout."""
+    import jax
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from f5_tts_tpu.infer.api import F5TTS
+    from f5_tts_tpu.models import dit as D
+    from f5_tts_tpu.models.configs import MODEL_CONFIGS, with_vocab_size
+    from f5_tts_tpu.text.tokenizer import get_tokenizer
+    from f5_tts_tpu.utils import ckpt as CK
+
+    vocab, size = get_tokenizer(None, "char")
+    cfg = with_vocab_size(MODEL_CONFIGS["F5TTS_Tiny"], size)
+    params = D.init(jax.random.PRNGKey(0), cfg.arch)
+    state = CK.dit_params_to_state(params, cfg.arch, prefix="transformer.")
+    state = {"ema_model." + k: np.ascontiguousarray(v) for k, v in state.items()}
+    state["ema_model.initted"] = np.array(True)
+    state["ema_model.step"] = np.array(100)
+    path = str(tmp_path / "model_1250000.safetensors")
+    save_file(state, path)
+
+    tts = F5TTS(model="F5TTS_Tiny", ckpt_file=path, nfe_step=2, device="cpu", init_random=True)
+    # init_random only fills the vocoder; the DiT weights came from the file
+    wav, sr, spec = tts.infer(ref_wav_path, "a simple tone reference.",
+                              "loaded from released format.", seed=4,
+                              show_info=lambda *a, **k: None)
+    assert wav is not None and np.isfinite(wav).all()
