@@ -120,3 +120,46 @@ def test_socket_server_concurrent_clients(tmp_path):
     assert len(results) == 3
     for wav in results.values():
         assert len(wav) > 500 and np.isfinite(wav).all()
+
+
+def test_phase_timer_report(tmp_path):
+    import time
+
+    from f5_tts_tpu.utils.profiling import PhaseTimer
+
+    pt = PhaseTimer()
+    with pt.phase("dit"):
+        time.sleep(0.01)
+    with pt.phase("vocoder"):
+        time.sleep(0.005)
+    with pt.phase("dit"):
+        time.sleep(0.01)
+    rep = pt.report()
+    assert rep["dit"]["count"] == 2 and rep["vocoder"]["count"] == 1
+    assert rep["dit"]["total_s"] >= 0.02
+    path = str(tmp_path / "phases.json")
+    pt.dump(path)
+    import json
+
+    assert "dit" in json.load(open(path))
+
+
+def test_distributed_helpers_single_host():
+    from f5_tts_tpu.parallel.distributed import init_distributed, process_batch_slice
+
+    info = init_distributed()
+    assert info["process_count"] >= 1 and info["global_devices"] >= 1
+    start, size = process_batch_slice(16)
+    assert start == 0 and size == 16 // info["process_count"]
+
+
+def test_seed_everything():
+    import random
+
+    from f5_tts_tpu.utils.seed import seed_everything
+
+    seed_everything(42)
+    a = (random.random(), np.random.rand())
+    seed_everything(42)
+    b = (random.random(), np.random.rand())
+    assert a == b
