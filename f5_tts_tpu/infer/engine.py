@@ -181,6 +181,11 @@ class InferenceEngine:
         self.dtype = dtype
         self.buckets = buckets
         self.options = options
+        from f5_tts_tpu.models.backbones import get_backbone
+
+        backbone = get_backbone(model_cfg.arch)
+        if hasattr(backbone, "fuse_for_inference"):
+            dit_params = backbone.fuse_for_inference(dit_params)
         self.dit_params = params_astype(dit_params, dtype)
         self.vocoder_params = vocoder_params  # vocoder runs fp32 (cheap, quality-critical)
         self.vocoder_type = vocoder_type or model_cfg.mel.mel_spec_type

@@ -213,3 +213,14 @@ def forward_cfg(
     mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
     out = forward(params, cfg, x2, cond2, te2, t2, mask=mask2, backend=backend)
     return out[:b], out[b:]
+
+
+def fuse_for_inference(params):
+    """Serving-time param transform: fuse per-block q/k/v projections into one
+    matmul (models/layers.py fuse_qkv).  Canonical (unfused) params remain the
+    checkpoint format; call this after loading for inference."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    blocks["attn"] = L.fuse_qkv(params["blocks"]["attn"])
+    out["blocks"] = blocks
+    return out

@@ -276,6 +276,25 @@ def mha_init(key, dim: int, heads: int, dim_head: int, qk_norm: str | None = Non
     return p
 
 
+def fuse_qkv(p):
+    """Fuse separate q/k/v projections into one [dim, 3*inner] matmul (serving
+    optimization: one pass over the activations instead of three).  Returns a
+    new attn param dict with a "to_qkv" entry; mha() detects it."""
+    if "to_qkv" in p:
+        return p
+    out = {k: v for k, v in p.items() if k not in ("to_q", "to_k", "to_v")}
+    out["to_qkv"] = {
+        # axis=-1 handles both plain [in, out] and scan-stacked [depth, in, out]
+        "kernel": jnp.concatenate(
+            [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=-1
+        ),
+        "bias": jnp.concatenate(
+            [p["to_q"]["bias"], p["to_k"]["bias"], p["to_v"]["bias"]], axis=-1
+        ),
+    }
+    return out
+
+
 def mha(
     p,
     x,
@@ -291,7 +310,11 @@ def mha(
     configs); padding-key masking + output re-masking match the reference.
     """
     b, n, _ = x.shape
-    q, k, v = linear(p["to_q"], x), linear(p["to_k"], x), linear(p["to_v"], x)
+    if "to_qkv" in p:
+        qkv = linear(p["to_qkv"], x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q, k, v = linear(p["to_q"], x), linear(p["to_k"], x), linear(p["to_v"], x)
     q = q.reshape(b, n, heads, -1).transpose(0, 2, 1, 3)  # [b, h, n, d]
     k = k.reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
     v = v.reshape(b, n, heads, -1).transpose(0, 2, 1, 3)

@@ -195,3 +195,13 @@ def forward_cfg(
     mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
     out = forward(params, cfg, x2, cond2, te2, t2, mask=mask2, backend=backend)
     return out[:b], out[b:]
+
+
+def fuse_for_inference(params):
+    """Fuse q/k/v projections in both scan-stacked halves (see dit.fuse_for_inference)."""
+    out = dict(params)
+    for half in ("first", "second"):
+        h = dict(params[half])
+        h["attn"] = L.fuse_qkv(params[half]["attn"])
+        out[half] = h
+    return out

@@ -151,3 +151,18 @@ def test_dit_block_matches_torch():
         mask=torch.from_numpy(mask), rope_freqs=torch.from_numpy(np.asarray(freqs)),
     ).numpy()
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_fuse_qkv_matches_unfused():
+    key = jax.random.PRNGKey(77)
+    heads, dim_head = 4, 16
+    p = L.mha_init(key, 64, heads, dim_head)
+    x = randn(2, 24, 64)
+    fused = L.fuse_qkv(p)
+    a = np.asarray(L.mha(p, jnp.asarray(x), heads, backend="sdpa"))
+    b = np.asarray(L.mha(fused, jnp.asarray(x), heads, backend="sdpa"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # stacked (depth-leading) variant
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), p, p)
+    sf = L.fuse_qkv(stacked)
+    assert sf["to_qkv"]["kernel"].shape == (2, 64, 3 * heads * dim_head)
