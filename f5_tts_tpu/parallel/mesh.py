@@ -74,6 +74,29 @@ def shard_params(params, mesh: Mesh, specs=None):
     )
 
 
+def zero1_state_specs(opt_state, mesh: Mesh):
+    """ZeRO-1: shard optimizer-state arrays (Adam m/v etc.) over the ``data``
+    axis — each data-parallel worker owns 1/dp of the optimizer moments, XLA
+    all-gathers the applied updates.  Arrays whose leading axis doesn't divide
+    by dp (scalars, counts) replicate."""
+    dp = mesh.shape[DATA_AXIS]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] % dp == 0 and shape[0] > 0:
+            return P(DATA_AXIS, *([None] * (len(shape) - 1)))
+        return P()
+
+    return jax.tree.map(spec, opt_state)
+
+
+def shard_opt_state(opt_state, mesh: Mesh):
+    specs = zero1_state_specs(opt_state, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), opt_state, specs
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 

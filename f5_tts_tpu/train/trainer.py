@@ -46,6 +46,7 @@ class Trainer:
         mesh=None,
         seed: int = 666,
         log_samples_fn=None,  # callback(ema_params, update) -> None; called at each save
+        zero1: bool = False,  # shard optimizer state over the data axis (ZeRO-1)
     ):
         if grad_accumulation_steps > 1 and opt_cfg.grad_accumulation_steps == 1:
             import dataclasses as _dc
@@ -64,6 +65,7 @@ class Trainer:
         self.seed = seed
         self.mesh = mesh
         self.log_samples_fn = log_samples_fn
+        self.zero1 = zero1
         os.makedirs(ckpt_dir, exist_ok=True)
         self.log_file = log_file or os.path.join(ckpt_dir, "train_log.jsonl")
         self.wandb = None
@@ -152,9 +154,11 @@ class Trainer:
         )
 
         if self.mesh is not None:
-            from f5_tts_tpu.parallel.mesh import batch_sharding
+            from f5_tts_tpu.parallel.mesh import batch_sharding, shard_opt_state
 
             bsh = batch_sharding(self.mesh)
+            if self.zero1:
+                opt_state = shard_opt_state(opt_state, self.mesh)
         else:
             bsh = None
 
