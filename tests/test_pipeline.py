@@ -186,3 +186,20 @@ def test_infer_process_bigvgan_long_text():
         opts=PipelineOptions(seed=5), show_info=lambda *a, **k: None,
     )
     assert wav is not None and len(wav) > 24000 and np.isfinite(wav).all()
+
+
+def test_fused_wav_path_mel_matches_ref_mel():
+    """The fused-from-wav graph's in-graph mel (int16 wav round trip) matches
+    engine.ref_mel within quantization tolerance: compare generated mels from
+    both entry points with identical seeds."""
+    cfg, params, _, _ = tiny_model()
+    eng = InferenceEngine(params, cfg, vocoder_params=None, options=EngineOptions(nfe_step=2))
+    rng = np.random.default_rng(12)
+    sr = 24000
+    wav = (0.3 * rng.standard_normal(sr)).astype(np.float32)
+    ref_frames = len(wav) // 256
+    txt = np.arange(24, dtype=np.int32)
+    mels_a, _, _ = eng.generate_batch_from_wav(wav, [txt], [300], seeds=[9], decode=False)
+    ref_mel = eng.ref_mel(wav)[:ref_frames]
+    mels_b, _, _ = eng.generate_batch([ref_mel], [txt], [300], seeds=[9], decode=False)
+    assert np.abs(mels_a - mels_b).mean() < 1e-3
