@@ -176,6 +176,7 @@ class InferenceEngine:
         options: EngineOptions = EngineOptions(),
         vocoder_type: str | None = None,
         vocoder_cfg=None,
+        fuse_qkv: bool = True,  # serving micro-opt; disable for TP weight sharding
     ):
         self.model_cfg = model_cfg
         self.dtype = dtype
@@ -184,7 +185,8 @@ class InferenceEngine:
         from f5_tts_tpu.models.backbones import get_backbone
 
         backbone = get_backbone(model_cfg.arch)
-        if hasattr(backbone, "fuse_for_inference"):
+        self.fused_qkv = bool(fuse_qkv and hasattr(backbone, "fuse_for_inference"))
+        if self.fused_qkv:
             dit_params = backbone.fuse_for_inference(dit_params)
         self.dit_params = params_astype(dit_params, dtype)
         self.vocoder_params = vocoder_params  # vocoder runs fp32 (cheap, quality-critical)

@@ -38,7 +38,8 @@ class BatchServer:
     each (batch, bucket) pair.
     """
 
-    def __init__(self, engine: InferenceEngine, mesh=None, batch_size: int = 8):
+    def __init__(self, engine: InferenceEngine, mesh=None, batch_size: int = 8,
+                 tensor_parallel: bool = False):
         self.engine = engine
         self.mesh = mesh
         self.batch_size = batch_size
@@ -49,7 +50,19 @@ class BatchServer:
 
             self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
             self._replicated = NamedSharding(mesh, P())
-            self.engine.dit_params = jax.device_put(self.engine.dit_params, self._replicated)
+            if tensor_parallel and mesh.shape.get("model", 1) > 1:
+                assert not getattr(engine, "fused_qkv", False), (
+                    "tensor_parallel sharding needs separate q/k/v projections;"
+                    " create the engine with fuse_qkv=False"
+                )
+                # Megatron-style weight sharding over the model axis; XLA
+                # inserts the all-reduces (replaces TRT ColumnLinear/RowLinear)
+                from f5_tts_tpu.parallel.mesh import dit_param_specs, shard_params
+
+                specs = dit_param_specs(self.engine.dit_params)
+                self.engine.dit_params = shard_params(self.engine.dit_params, mesh, specs)
+            else:
+                self.engine.dit_params = jax.device_put(self.engine.dit_params, self._replicated)
             if self.engine.vocoder_params is not None:
                 self.engine.vocoder_params = jax.device_put(self.engine.vocoder_params, self._replicated)
 

@@ -155,3 +155,25 @@ def test_tensor_parallel_inference_matches_replicated():
             )
         )
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_batch_server_tensor_parallel_matches_replicated():
+    """dp x tp BatchServer (Megatron weight sharding) vs plain server."""
+    from f5_tts_tpu.models import vocos as V2
+    from f5_tts_tpu.parallel.mesh import make_mesh
+    from tests.test_pipeline import tiny_model as _tiny
+
+    cfg, params, _, _ = _tiny()
+    voc = V2.init(jax.random.PRNGKey(1), V2.VocosConfig())
+    reqs = _requests(4)
+
+    eng_plain = InferenceEngine(params, cfg, vocoder_params=voc, options=EngineOptions(nfe_step=2))
+    wav_plain, _ = BatchServer(eng_plain, mesh=None, batch_size=2).run(reqs, overlap=1)
+
+    mesh = make_mesh(data=2, model=4)
+    eng_tp = InferenceEngine(params, cfg, vocoder_params=voc,
+                             options=EngineOptions(nfe_step=2), fuse_qkv=False)
+    srv = BatchServer(eng_tp, mesh=mesh, batch_size=2, tensor_parallel=True)
+    wav_tp, _ = srv.run(reqs, overlap=1)
+    for a, b in zip(wav_plain, wav_tp):
+        np.testing.assert_allclose(a, b, atol=3e-4)
