@@ -107,24 +107,19 @@ def overlap_add(frames: jax.Array, hop: int) -> jax.Array:
     """
     b, n_frames, n_fft = frames.shape
     out_len = (n_frames - 1) * hop + n_fft
-    if n_fft % hop == 0:
-        r = n_fft // hop
-        # [b, n_frames, r, hop]
-        chunks = frames.reshape(b, n_frames, r, hop)
-        out = jnp.zeros((b, n_frames + r - 1, hop), dtype=frames.dtype)
-        for j in range(r):
-            out = out.at[:, j : j + n_frames].add(chunks[:, :, j])
-        return out.reshape(b, -1)[:, :out_len]
-    # General fallback: conv_transpose with a dispatch kernel.
-    eye = jnp.eye(n_fft, dtype=frames.dtype)[:, None, :]  # [in=n_fft, 1, k=n_fft]
-    y = jax.lax.conv_transpose(
-        frames.transpose(0, 2, 1),  # [b, n_fft, n_frames]
-        eye,
-        strides=(hop,),
-        padding="VALID",
-        dimension_numbers=("NCH", "IOH", "NCH"),
-    )
-    return y[:, 0, :out_len]
+    if n_fft % hop != 0:
+        # general case: zero-pad each frame to the next hop multiple — the
+        # appended zeros contribute nothing to the sum
+        pad = hop - n_fft % hop
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, pad)))
+        n_fft = n_fft + pad
+    r = n_fft // hop
+    # [b, n_frames, r, hop]: chunk j of frame t lands at output block (t + j)
+    chunks = frames.reshape(b, n_frames, r, hop)
+    out = jnp.zeros((b, n_frames + r - 1, hop), dtype=frames.dtype)
+    for j in range(r):
+        out = out.at[:, j : j + n_frames].add(chunks[:, :, j])
+    return out.reshape(b, -1)[:, :out_len]
 
 
 @functools.lru_cache(maxsize=8)

@@ -147,3 +147,29 @@ def test_log_mel_bigvgan_shape():
     assert out.shape == (1, num_frames(25600, cfg), 100)
     # silence -> log(clamp) floor
     np.testing.assert_allclose(out, np.log(1e-5), atol=1e-6)
+
+
+def test_overlap_add_general_fallback_matches_fast_path():
+    """overlap_add has a reshape fast path (n_fft % hop == 0) and a
+    conv_transpose fallback; cross-check them on a divisible case and verify
+    the fallback alone on a non-divisible hop."""
+    from f5_tts_tpu.ops.stft import overlap_add
+
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((2, 9, 64)).astype(np.float32)
+
+    fast = np.asarray(overlap_add(frames, 16))  # 64 % 16 == 0 -> fast path
+    # manual reference
+    out_len = 8 * 16 + 64
+    want = np.zeros((2, out_len), np.float32)
+    for t in range(9):
+        want[:, t * 16 : t * 16 + 64] += frames[:, t]
+    np.testing.assert_allclose(fast, want, atol=1e-5)
+
+    # non-divisible hop -> conv_transpose fallback
+    slow = np.asarray(overlap_add(frames, 24))
+    out_len = 8 * 24 + 64
+    want = np.zeros((2, out_len), np.float32)
+    for t in range(9):
+        want[:, t * 24 : t * 24 + 64] += frames[:, t]
+    np.testing.assert_allclose(slow, want, atol=1e-4)
