@@ -194,6 +194,20 @@ class InferenceEngine:
         self.vocoder_cfg = vocoder_cfg  # None -> backend defaults
         self.hop = model_cfg.mel.hop_length
 
+
+    def _trim_wavs(self, wav, duration, lens):
+        """Dequantize the int16 device waveform and trim each row to its
+        generated length (vocos istft yields (n-1)*hop samples for n frames;
+        bigvgan n*hop)."""
+        gen_frames = [int(d - ln) for d, ln in zip(duration, lens)]
+        wavs = []
+        if wav is not None:
+            wav_np = np.asarray(wav).astype(np.float32) / 32767.0
+            for i, gf in enumerate(gen_frames):
+                n_samp = max(gf - 1, 0) * self.hop if self.vocoder_type == "vocos" else gf * self.hop
+                wavs.append(wav_np[i, :n_samp])
+        return wavs, gen_frames
+
     # ------------------------------------------------------------------ mel
     def ref_mel(self, wav: np.ndarray) -> np.ndarray:
         """Reference-audio log-mel [n_ref, d], exact parity with the reference
@@ -249,14 +263,7 @@ class InferenceEngine:
             vocoder_cfg=self.vocoder_cfg,
         )
         mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
-        wavs = []
-        gen_frames = [int(dur - ln) for dur, ln in zip(duration, lens)]
-        if wav is not None:
-            wav_np = np.asarray(wav).astype(np.float32) / 32767.0
-            for i, gf in enumerate(gen_frames):
-                # vocos istft yields (n-1)*hop samples for n frames; bigvgan n*hop
-                n_samp = max(gf - 1, 0) * self.hop if self.vocoder_type == "vocos" else gf * self.hop
-                wavs.append(wav_np[i, :n_samp])
+        wavs, gen_frames = self._trim_wavs(wav, duration, lens)
         return mel_np, wavs, gen_frames
 
     def generate_batch_from_wav(
@@ -309,13 +316,7 @@ class InferenceEngine:
             vocoder_cfg=self.vocoder_cfg,
         )
         mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
-        wavs = []
-        gen_frames = [int(d - ln) for d, ln in zip(duration, lens)]
-        if wav is not None:
-            wav_np = np.asarray(wav).astype(np.float32) / 32767.0
-            for i, gf in enumerate(gen_frames):
-                n_samp = max(gf - 1, 0) * self.hop if self.vocoder_type == "vocos" else gf * self.hop
-                wavs.append(wav_np[i, :n_samp])
+        wavs, gen_frames = self._trim_wavs(wav, duration, lens)
         return mel_np, wavs, gen_frames
 
     def warmup(self, n_frames: int = 1024, text_len: int = 64) -> None:

@@ -147,13 +147,7 @@ class BatchServer:
             decode=eng.vocoder_params is not None,
             vocoder_type=eng.vocoder_type,
         )
-        gen_frames = [int(dur - ln) for dur, ln in zip(duration, lens)]
-        wavs = []
-        if wav is not None:
-            wav_np = np.asarray(wav).astype(np.float32) / 32767.0
-            for i, gf in enumerate(gen_frames):
-                n_samp = max(gf - 1, 0) * eng.hop if eng.vocoder_type == "vocos" else gf * eng.hop
-                wavs.append(wav_np[i, :n_samp])
+        wavs, gen_frames = eng._trim_wavs(wav, duration, lens)
         return None, wavs, gen_frames
 
 
