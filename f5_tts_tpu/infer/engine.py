@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from f5_tts_tpu.models import cfm, dit, vocos
+from f5_tts_tpu.models import cfm, vocos
 from f5_tts_tpu.models.configs import ModelConfig
 from f5_tts_tpu.ops.mel import MelConfig, log_mel_prepadded, num_frames, stft_pad_amount
 from f5_tts_tpu.utils.ckpt import params_astype

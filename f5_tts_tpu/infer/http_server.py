@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import io
 import json
-import struct
 import threading
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer

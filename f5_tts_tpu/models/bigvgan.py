@@ -14,7 +14,7 @@ maps it onto the MXU; the reference's optional fused CUDA kernel
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ so user YAML/TOML configs keep working.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from f5_tts_tpu.ops.mel import MelConfig
 

@@ -21,7 +21,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from f5_tts_tpu.ops.attention import attention
 from f5_tts_tpu.ops.rope import apply_rotary

@@ -9,7 +9,6 @@ exposed as pluggable hooks.  gradio is an optional dependency.
 
 from __future__ import annotations
 
-import json
 import os
 import subprocess
 import sys

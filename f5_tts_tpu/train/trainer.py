@@ -19,10 +19,8 @@ import shutil
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from f5_tts_tpu.models.backbones import get_backbone
 from f5_tts_tpu.train.dataset import DynamicBatchSampler, collate_batch
 from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
 
