@@ -163,3 +163,61 @@ def test_seed_everything():
     seed_everything(42)
     b = (random.random(), np.random.rand())
     assert a == b
+
+
+def test_text_longer_than_frames_is_curtailed():
+    """text_embedding curtails tokens beyond the mel frame count
+    (reference dit.py:95: 'curtail if character tokens are more than mel')."""
+    from f5_tts_tpu.models import dit as D
+    from tests.test_dit import SMALL, make_params
+
+    params = make_params(SMALL)
+    rng = np.random.default_rng(1)
+    n, nt = 16, 40  # more tokens than frames
+    text = rng.integers(0, SMALL.text_num_embeds, (1, nt)).astype(np.int32)
+    te = D.text_embedding(params, SMALL, jnp.asarray(text), n)
+    assert te.shape == (1, n, SMALL.text_dim)
+    assert np.isfinite(np.asarray(te)).all()
+
+
+def test_generate_batch_duration_not_exceeding_ref():
+    """duration <= ref length: sampler clamps to ref+1 and the engine returns
+    an (almost) empty generated wave without crashing."""
+    from f5_tts_tpu.infer.engine import EngineOptions, InferenceEngine
+    from f5_tts_tpu.models import vocos as V
+    from tests.test_pipeline import tiny_model
+
+    cfg, params, _, _ = tiny_model()
+    eng = InferenceEngine(params, cfg, vocoder_params=V.init(jax.random.PRNGKey(1), V.VocosConfig()),
+                          options=EngineOptions(nfe_step=2))
+    rng = np.random.default_rng(2)
+    ref = rng.standard_normal((100, 100)).astype(np.float32)
+    txt = np.arange(10, dtype=np.int32)
+    mels, wavs, gf = eng.generate_batch([ref], [txt], [50], seeds=[0])  # duration < ref len
+    assert gf[0] >= 1  # clamped to lens+1
+    assert np.isfinite(wavs[0]).all()
+
+
+def test_sample_edit_mask_keeps_unmasked_regions_exact():
+    from f5_tts_tpu.models import cfm as C
+    from tests.test_dit import SMALL, make_params
+
+    params = make_params(SMALL)
+    rng = np.random.default_rng(3)
+    b, n = 1, 48
+    cond = rng.standard_normal((b, n, SMALL.mel_dim)).astype(np.float32)
+    text = rng.integers(0, SMALL.text_num_embeds, (b, 8)).astype(np.int32)
+    lens = np.array([40], np.int32)
+    edit_mask = np.ones((b, n), bool)
+    edit_mask[0, 10:20] = False  # regenerate frames 10..20
+    out = np.asarray(C.sample(params, SMALL, jnp.asarray(cond), jnp.asarray(text),
+                              jnp.asarray(np.array([44], np.int32)),
+                              jnp.asarray(rng.standard_normal((b, n, SMALL.mel_dim)).astype(np.float32)),
+                              lens=jnp.asarray(lens),
+                              opts=C.SampleOptions(steps=2),
+                              edit_mask=jnp.asarray(edit_mask), backend="sdpa"))
+    # kept regions are the original cond verbatim
+    np.testing.assert_array_equal(out[0, :10], cond[0, :10])
+    np.testing.assert_array_equal(out[0, 20:40], cond[0, 20:40])
+    # regenerated span differs
+    assert np.abs(out[0, 10:20] - cond[0, 10:20]).mean() > 1e-3
