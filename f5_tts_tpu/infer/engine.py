@@ -57,6 +57,15 @@ class EngineOptions:
         )
 
 
+
+def _clamp_duration(duration, text_ids, lens, n):
+    """Mirror cfm.sample's host-visible duration rule (cfm.py:135-138):
+    at least max(text_len, ref_len) + 1, at most the bucket."""
+    text_len = np.sum(np.asarray(text_ids) != -1, axis=-1)
+    duration = np.maximum(np.maximum(text_len, lens) + 1, duration)
+    return np.minimum(duration, n).astype(np.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("model_cfg", "opts", "decode", "vocoder_type", "vocoder_cfg")
 )
@@ -245,7 +254,7 @@ class InferenceEngine:
             cond[i, : len(m)] = m
             lens[i] = len(m)
             text_ids[i, : min(len(t), n)] = t[:n]
-        duration = np.minimum(np.asarray(durations, np.int32), n)
+        duration = _clamp_duration(np.asarray(durations, np.int32), text_ids, lens, n)
         if seeds is None:
             seeds = list(np.random.randint(0, 2**31 - 1, size=b))
         mel_out, wav = _sample_and_decode(
@@ -296,7 +305,7 @@ class InferenceEngine:
         text_ids = np.full((b, n), -1, np.int32)
         for i, t in enumerate(text_ids_list):
             text_ids[i, : min(len(t), n)] = t[:n]
-        duration = np.minimum(np.asarray(durations, np.int32), n)
+        duration = _clamp_duration(np.asarray(durations, np.int32), text_ids, lens, n)
         if seeds is None:
             seeds = list(np.random.randint(0, 2**31 - 1, size=b))
         mel_out, wav = _sample_and_decode_from_wav(

@@ -135,7 +135,11 @@ class BatchServer:
             lens[i] = len(r.ref_mel)
             t = r.text_ids[: n]
             text_ids[i, : len(t)] = t
-        duration = np.minimum(np.asarray([r.duration for r in reqs], np.int32), n)
+        from f5_tts_tpu.infer.engine import _clamp_duration
+
+        duration = _clamp_duration(
+            np.asarray([r.duration for r in reqs], np.int32), text_ids, lens, n
+        )
         seeds = np.asarray([r.seed for r in reqs], np.int32)
         mel_out, wav = _sample_and_decode(
             eng.dit_params, eng.vocoder_params, eng.model_cfg, eng.options,
