@@ -457,6 +457,20 @@ def expand_text_embedding(params, new_vocab_size: int, seed: int = 0):
 # native (JAX-side) snapshots
 
 
+def export_safetensors(params, arch_cfg, path: str, ema_prefix: bool = True) -> None:
+    """Export a (DiT) pytree to a reference-format .safetensors release file —
+    models finetuned here load back into the PyTorch ecosystem unchanged.
+    Fused-qkv serving params are not exportable; pass canonical params."""
+    from safetensors.numpy import save_file
+
+    state = dit_params_to_state(params, arch_cfg, prefix="transformer.")
+    if ema_prefix:
+        state = {"ema_model." + k: np.ascontiguousarray(v) for k, v in state.items()}
+    else:
+        state = {k: np.ascontiguousarray(v) for k, v in state.items()}
+    save_file(state, path)
+
+
 def save_pytree(params, path: str) -> None:
     """Flat .npz snapshot of a pytree (inference weights interchange)."""
     flat, _ = jax.tree_util.tree_flatten_with_path(params)

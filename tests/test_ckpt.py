@@ -78,3 +78,12 @@ def test_expand_text_embedding():
     # no-op when already large enough
     same = expand_text_embedding(out, SMALL.text_num_embeds)
     assert same["text_embed"]["embed"]["weight"].shape[0] == new.shape[0]
+
+
+def test_export_safetensors_roundtrip(tmp_path):
+    """Finetuned-here weights export to the released torch format and load back."""
+    params = make_params(SMALL)
+    path = str(tmp_path / "export.safetensors")
+    CK.export_safetensors(params, SMALL, path)
+    back = CK.dit_params_from_state(CK.load_torch_state(path), SMALL)
+    assert trees_equal(params, back)
