@@ -37,6 +37,8 @@ def main(argv=None):
     p.add_argument("--tokenizer", type=str, default=None, choices=[None, "pinyin", "char", "custom"])
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--logger", type=str, default=None, choices=[None, "wandb", "tensorboard"])
+    p.add_argument("--export_safetensors", type=str, default=None,
+                   help="write the final EMA weights as a reference-format .safetensors")
     args = p.parse_args(argv)
 
     from f5_tts_tpu.models.backbones import get_backbone
@@ -92,7 +94,15 @@ def main(argv=None):
         last_per_updates=args.last_per_updates,
         logger=args.logger,
     )
-    trainer.train(params, dataset, epochs=args.epochs, resume=True)
+    params, ema_params, update = trainer.train(params, dataset, epochs=args.epochs, resume=True)
+    if args.export_safetensors:
+        from f5_tts_tpu.models.configs import DiTConfig
+
+        if isinstance(model_cfg.arch, DiTConfig):
+            ckpt_util.export_safetensors(ema_params, model_cfg.arch, args.export_safetensors)
+            print(f"exported EMA weights -> {args.export_safetensors}")
+        else:
+            print("--export_safetensors currently supports DiT backbones only")
 
 
 if __name__ == "__main__":
