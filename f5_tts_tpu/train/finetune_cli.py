@@ -89,6 +89,7 @@ def main(argv=None):
         batch_size_per_device=args.batch_size_per_gpu,
         batch_size_type=args.batch_size_type,
         max_samples=args.max_samples,
+        grad_accumulation_steps=args.grad_accumulation_steps,
         save_per_updates=args.save_per_updates,
         keep_last_n_checkpoints=args.keep_last_n_checkpoints,
         last_per_updates=args.last_per_updates,
