@@ -94,6 +94,8 @@ def main(argv=None):
         learning_rate=args.learning_rate or optim.get("learning_rate", 7.5e-5),
         num_warmup_updates=args.num_warmup_updates or optim.get("num_warmup_updates", 20_000),
         max_grad_norm=optim.get("max_grad_norm", 1.0),
+        grad_accumulation_steps=optim.get("grad_accumulation_steps", 1),
+        mixed_precision=optim.get("mixed_precision", False),
     )
 
     dataset = load_dataset(dataset_name, model_cfg.tokenizer, mel_cfg=model_cfg.mel,
