@@ -110,6 +110,7 @@ def main(argv=None):
         opt_cfg,
         ckpt_dir=args.ckpt_dir or ckpts_cfg.get("save_dir", f"ckpts/{model_cfg.name}"),
         batch_size_per_device=args.batch_size_per_gpu or datasets_cfg.get("batch_size_per_gpu", 38_400),
+        batch_size_type=datasets_cfg.get("batch_size_type", "frame"),
         max_samples=args.max_samples or datasets_cfg.get("max_samples", 64),
         save_per_updates=ckpts_cfg.get("save_per_updates", 50_000),
         keep_last_n_checkpoints=ckpts_cfg.get("keep_last_n_checkpoints", -1),
