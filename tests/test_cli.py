@@ -183,3 +183,49 @@ def test_api_loads_released_safetensors_format(ref_wav_path, tmp_path):
                               "loaded from released format.", seed=4,
                               show_info=lambda *a, **k: None)
     assert wav is not None and np.isfinite(wav).all()
+
+
+def test_simple_yaml_parser():
+    import textwrap
+
+    from f5_tts_tpu.train.cli import parse_simple_yaml
+
+    p = "/tmp/_yaml_test.yaml"
+    open(p, "w").write(textwrap.dedent("""\
+        # comment
+        top: 1
+        section:
+          a: true
+          b: null
+          c: 7.5e-5
+          nested:
+            d: "quoted"
+          e: plain string
+        other:
+          f: -1.0
+        """))
+    y = parse_simple_yaml(p)
+    assert y["top"] == 1
+    assert y["section"]["a"] is True
+    assert y["section"]["b"] is None
+    assert abs(y["section"]["c"] - 7.5e-5) < 1e-12
+    assert y["section"]["nested"]["d"] == "quoted"
+    assert y["section"]["e"] == "plain string"
+    assert y["other"]["f"] == -1.0
+
+
+def test_api_infer_kwargs_surface(ref_wav_path):
+    """The reference api.py:98-116 kwargs all exist and are accepted."""
+    import inspect
+
+    from f5_tts_tpu.infer.api import F5TTS
+
+    sig = inspect.signature(F5TTS.infer)
+    for kw in ("ref_file", "ref_text", "gen_text", "show_info", "progress", "target_rms",
+               "cross_fade_duration", "sway_sampling_coef", "cfg_strength", "nfe_step",
+               "speed", "fix_duration", "remove_silence", "file_wave", "file_spec", "seed"):
+        assert kw in sig.parameters, kw
+    ctor = inspect.signature(F5TTS.__init__)
+    for kw in ("model", "ckpt_file", "vocab_file", "ode_method", "use_ema",
+               "vocoder_local_path", "device", "hf_cache_dir"):
+        assert kw in ctor.parameters, kw
