@@ -166,3 +166,11 @@ def test_fuse_qkv_matches_unfused():
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), p, p)
     sf = L.fuse_qkv(stacked)
     assert sf["to_qkv"]["kernel"].shape == (2, 64, 3 * heads * dim_head)
+
+
+def test_rotary_ntk_rescale_hook():
+    base = R.rotary_freqs(16, 8)
+    rescaled = R.rotary_freqs(16, 8, theta_rescale_factor=2.0)
+    # rescaling theta lowers the angular frequencies (longer wavelengths)
+    assert np.all(rescaled[1, 0::2] <= base[1, 0::2] + 1e-9)
+    assert not np.allclose(rescaled, base)

@@ -173,3 +173,17 @@ def test_overlap_add_general_fallback_matches_fast_path():
     for t in range(9):
         want[:, t * 24 : t * 24 + 64] += frames[:, t]
     np.testing.assert_allclose(slow, want, atol=1e-4)
+
+
+def test_istft_frame_lens_matches_exact_length():
+    """frame_lens-masked istft == istft on the exact-length spectrogram."""
+    rng = np.random.default_rng(9)
+    n_real, n_pad = 12, 20
+    re = rng.standard_normal((1, n_pad, 513)).astype(np.float32)
+    im = rng.standard_normal((1, n_pad, 513)).astype(np.float32)
+    cfg = STFTConfig()
+    import jax.numpy as jnp
+
+    exact = np.asarray(istft(re[:, :n_real], im[:, :n_real], cfg))
+    masked = np.asarray(istft(re, im, cfg, frame_lens=jnp.asarray(np.array([n_real]))))
+    np.testing.assert_allclose(masked[:, : exact.shape[1]], exact, atol=1e-4)
