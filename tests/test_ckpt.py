@@ -87,3 +87,21 @@ def test_export_safetensors_roundtrip(tmp_path):
     CK.export_safetensors(params, SMALL, path)
     back = CK.dit_params_from_state(CK.load_torch_state(path), SMALL)
     assert trees_equal(params, back)
+
+
+def test_use_ema_toggle_selects_weights(tmp_path):
+    """use_ema picks ema_model_state_dict vs model_state_dict (reference
+    utils_infer.py:209-227)."""
+    params_a = make_params(SMALL, seed=1)
+    params_b = make_params(SMALL, seed=2)
+    raw = {k: torch.from_numpy(np.array(v))
+           for k, v in CK.dit_params_to_state(params_a, SMALL, prefix="transformer.").items()}
+    ema = {("ema_model." + k): torch.from_numpy(np.array(v))
+           for k, v in CK.dit_params_to_state(params_b, SMALL, prefix="transformer.").items()}
+    path = str(tmp_path / "both.pt")
+    torch.save({"model_state_dict": raw, "ema_model_state_dict": ema, "update": 5}, path)
+
+    got_ema = CK.dit_params_from_state(CK.load_torch_state(path, use_ema=True), SMALL)
+    got_raw = CK.dit_params_from_state(CK.load_torch_state(path, use_ema=False), SMALL)
+    assert trees_equal(got_ema, params_b)
+    assert trees_equal(got_raw, params_a)
