@@ -292,13 +292,28 @@ def _flash_diff_bwd(block_q, block_k, res, do):
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+def _pick_block(n: int, preferred: int) -> int:
+    """Largest block size <= preferred that divides n (halving from preferred).
+
+    The kernels iterate ``range(n // block)`` with no remainder handling, so a
+    non-dividing block would silently drop trailing keys/queries (e.g. the 768
+    serving bucket with the old fixed block_k=512 never attended keys 512:768).
+    """
+    blk = min(preferred, n)
+    while blk > 1 and n % blk:
+        blk //= 2
+    if n % blk:
+        raise ValueError(f"sequence length {n} has no power-of-two block divisor <= {preferred}")
+    return blk
+
+
 def flash_attention_trainable(q, k, v, mask=None, block_q: int = 256, block_k: int = 512):
     """Differentiable flash attention (custom VJP with Pallas fwd+bwd kernels).
     Padding-query rows must receive zero upstream gradient — guaranteed when
     the caller re-masks the attention output (models/layers.py mha does)."""
     b, h, n, dh = q.shape
     lens = jnp.full((b,), n, jnp.int32) if mask is None else jnp.sum(mask, axis=-1).astype(jnp.int32)
-    return _flash_diff(q, k, v, lens, min(block_q, n), min(block_k, n))
+    return _flash_diff(q, k, v, lens, _pick_block(n, block_q), _pick_block(n, block_k))
 
 
 def flash_supported(q) -> bool:
@@ -317,6 +332,4 @@ def flash_attention(q, k, v, mask=None, block_q: int = 256, block_k: int = 512):
         lens = jnp.full((b,), n, jnp.int32)
     else:
         lens = jnp.sum(mask, axis=-1).astype(jnp.int32)
-    block_q = min(block_q, n)
-    block_k = min(block_k, n)
-    return _flash(q, k, v, lens, block_q, block_k)
+    return _flash(q, k, v, lens, _pick_block(n, block_q), _pick_block(n, block_k))

@@ -42,6 +42,47 @@ def test_flash_matches_sdpa(masked):
     assert np.abs(got - want).mean() < 2e-3
 
 
+@pytest.mark.parametrize("n", [768, 1280])
+def test_flash_non_block_multiple_lengths(n):
+    """Regression: n not a multiple of the default block_k=512 (e.g. serving
+    bucket 768, UNetT pad 1280) must still attend ALL keys — the old fixed
+    block loop silently dropped keys past the last full 512 chunk."""
+    rng = np.random.default_rng(7)
+    b, h, dh = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    mask = jnp.asarray(np.arange(n)[None, :] < np.array([[n - 100]]))
+    got = np.asarray(FA.flash_attention(q, k, v, mask))
+    want = np.asarray(sdpa(q, k, v, mask))
+    mm = np.asarray(mask)[:, None, :, None]
+    np.testing.assert_allclose(got * mm, want * mm, atol=2e-2, rtol=1e-2)
+    assert np.abs(got * mm - want * mm).mean() < 2e-3
+
+    # trainable path: same blocks picker, grads must cover the tail keys
+    def loss_f(k_):
+        return (FA.flash_attention_trainable(q, k_, v, mask) * mm).sum()
+
+    def loss_s(k_):
+        return (sdpa(q, k_, v, mask) * mm).sum()
+
+    gf = np.asarray(jax.grad(loss_f)(k))
+    gs = np.asarray(jax.grad(loss_s)(k))
+    # tail keys (beyond the last 512 chunk) must receive nonzero gradient
+    assert np.abs(gs[:, :, 512:, :]).max() > 0
+    assert np.abs(gf - gs).mean() < 5e-3
+
+
+def test_pick_block():
+    assert FA._pick_block(768, 512) == 256
+    assert FA._pick_block(1280, 512) == 256
+    assert FA._pick_block(1024, 512) == 512
+    assert FA._pick_block(512, 512) == 512
+    assert FA._pick_block(384, 512) == 384  # n itself (single chunk)
+    assert FA._pick_block(384, 256) == 128
+    assert FA._pick_block(192, 256) == 192
+
+
 def test_flash_supported_gating():
     q = jnp.zeros((1, 2, 512, 64))
     assert not FA.flash_supported(q) or jax.default_backend() != "cpu"
