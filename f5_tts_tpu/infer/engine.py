@@ -328,6 +328,63 @@ class InferenceEngine:
         wavs, gen_frames = self._trim_wavs(wav, duration, lens)
         return mel_np, wavs, gen_frames
 
+    def generate_batch_from_wavs(
+        self,
+        ref_wavs: list[np.ndarray],  # per-row reference waveforms (dynamic batching)
+        text_ids_list: list[np.ndarray],
+        durations: list[int],
+        seeds: list[int] | None = None,
+        decode: bool = True,
+        fetch_mel: bool = True,
+    ):
+        """Fused path with a DIFFERENT reference per row — the shape the online
+        dynamic batcher needs when merging independent clients' requests
+        (reference Triton batcher pads/concats per-request refs,
+        runtime/triton_trtllm/model_repo_f5_tts/f5_tts/f5_tts_trtllm.py:412-445).
+        Rows ship int16 at the ref-length bucket of the LONGEST ref."""
+        b = len(ref_wavs)
+        mel_cfg = self.model_cfg.mel
+        n = pick_bucket(max(durations), self.buckets)
+        pad = stft_pad_amount(mel_cfg)
+        ref_frames = [len(w) // self.hop for w in ref_wavs]
+        ref_bucket = pick_bucket(min(max(ref_frames) + 1, n), self.buckets)
+        S = ref_bucket * self.hop + mel_cfg.n_fft
+        wavs_in = np.zeros((b, S), np.int16)
+        wav_scale = np.zeros((b,), np.float32)
+        for i, w in enumerate(ref_wavs):
+            padded = np.pad(np.asarray(w, np.float32), pad, mode="reflect")
+            padded = np.pad(padded, (0, max(0, S - len(padded))))[:S]
+            peak = max(float(np.abs(padded).max()), 1e-6)
+            scale = max(peak, 1.0)
+            wavs_in[i] = np.round(padded / scale * 32767.0).astype(np.int16)
+            wav_scale[i] = scale
+        lens = np.asarray([min(rf, n) for rf in ref_frames], np.int32)
+        text_ids = np.full((b, n), -1, np.int32)
+        for i, t in enumerate(text_ids_list):
+            text_ids[i, : min(len(t), n)] = t[:n]
+        duration = _clamp_duration(np.asarray(durations, np.int32), text_ids, lens, n)
+        if seeds is None:
+            seeds = list(np.random.randint(0, 2**31 - 1, size=b))
+        mel_out, wav = _sample_and_decode_from_wav(
+            self.dit_params,
+            self.vocoder_params,
+            self.model_cfg,
+            self.options,
+            jnp.asarray(wavs_in),
+            jnp.asarray(wav_scale),
+            jnp.asarray(lens),
+            jnp.asarray(text_ids),
+            jnp.asarray(duration),
+            jnp.asarray(np.asarray(seeds, np.int32)),
+            n,
+            decode=decode and self.vocoder_params is not None,
+            vocoder_type=self.vocoder_type,
+            vocoder_cfg=self.vocoder_cfg,
+        )
+        mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
+        wavs, gen_frames = self._trim_wavs(wav, duration, lens)
+        return mel_np, wavs, gen_frames
+
     def warmup(self, n_frames: int = 1024, text_len: int = 64) -> None:
         d = self.model_cfg.mel.n_mel_channels
         ref = np.zeros((n_frames // 4, d), np.float32)

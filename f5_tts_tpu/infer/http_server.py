@@ -30,21 +30,36 @@ def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(tts, ref, ref_text, lock):
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def make_handler(tts, ref, ref_text, lock, batcher=None):
     from f5_tts_tpu.infer import pipeline as P
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             pass
 
+        def _json(self, obj, status=200):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/health":
-                body = json.dumps({"status": "ok"}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._json({"status": "ok"})
+            elif self.path == "/stats":
+                # dynamic-batching queue/compute stats (Triton inference-statistics
+                # equivalent, reference client_grpc.py:425-447)
+                self._json(batcher.stats() if batcher is not None else {"batching": "off"})
             else:
                 self.send_response(404)
                 self.end_headers()
@@ -82,13 +97,26 @@ def make_handler(tts, ref, ref_text, lock):
     return Handler
 
 
-def serve(tts, ref_audio: str, ref_text: str, host="0.0.0.0", port=8000):
+def serve(tts, ref_audio: str, ref_text: str, host="0.0.0.0", port=8000,
+          max_batch: int = 4, queue_delay_ms: float = 4.0):
     from f5_tts_tpu.audio.preprocess import preprocess_ref_audio_text
 
     ref, text = preprocess_ref_audio_text(ref_audio, ref_text)
-    handler = make_handler(tts, ref, text, threading.Lock())
+    batcher = None
+    if max_batch > 1:
+        # online dynamic batching: concurrent /tts requests merge into shared
+        # device batches (Triton dynamic_batching equivalent, config.pbtxt:15-20)
+        from f5_tts_tpu.infer.batcher import DynamicBatcher, BatchedEngine
+
+        batcher = DynamicBatcher(tts.engine, max_batch=max_batch,
+                                 queue_delay_ms=queue_delay_ms)
+        tts.engine = BatchedEngine(batcher)
+        lock = _NullLock()  # the batcher serializes device work
+    else:
+        lock = threading.Lock()
+    handler = make_handler(tts, ref, text, lock, batcher=batcher)
     server = ThreadingHTTPServer((host, port), handler)
-    print(f"HTTP TTS on {host}:{port}")
+    print(f"HTTP TTS on {host}:{port} (max_batch={max_batch})")
     server.serve_forever()
 
 
@@ -122,13 +150,18 @@ def main(argv=None):
     p.add_argument("--ref_text", default="")
     p.add_argument("--init_random", action="store_true")
     p.add_argument("--nfe_step", type=int, default=32)
+    p.add_argument("--max_batch", type=int, default=4,
+                   help="online dynamic-batching max batch (1 disables)")
+    p.add_argument("--queue_delay_ms", type=float, default=4.0,
+                   help="batch window opened by the first queued request")
     args = p.parse_args(argv)
     from f5_tts_tpu.infer.api import F5TTS
 
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file,
                 vocoder_local_path=args.vocoder_local_path,
                 nfe_step=args.nfe_step, init_random=args.init_random)
-    serve(tts, args.ref_audio, args.ref_text, args.host, args.port)
+    serve(tts, args.ref_audio, args.ref_text, args.host, args.port,
+          max_batch=args.max_batch, queue_delay_ms=args.queue_delay_ms)
 
 
 if __name__ == "__main__":

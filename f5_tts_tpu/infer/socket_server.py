@@ -124,6 +124,9 @@ def main(argv=None):
     p.add_argument("--ref_text", default="")
     p.add_argument("--device", default=None)
     p.add_argument("--init_random", action="store_true")
+    p.add_argument("--max_batch", type=int, default=4,
+                   help="online dynamic-batching max batch (1 disables)")
+    p.add_argument("--queue_delay_ms", type=float, default=4.0)
     args = p.parse_args(argv)
 
     from f5_tts_tpu.infer.api import F5TTS
@@ -131,6 +134,12 @@ def main(argv=None):
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
                 vocoder_local_path=args.vocoder_local_path, device=args.device,
                 init_random=args.init_random)
+    if args.max_batch > 1:
+        # concurrent connections' chunks merge into shared device batches
+        from f5_tts_tpu.infer.batcher import wrap_engine
+
+        tts.engine = wrap_engine(tts.engine, max_batch=args.max_batch,
+                                 queue_delay_ms=args.queue_delay_ms)
     processor = TTSStreamingProcessor(tts, args.ref_audio, args.ref_text)
     start_server(args.host, args.port, processor)
 
