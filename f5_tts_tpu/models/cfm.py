@@ -188,6 +188,7 @@ def loss(
     cond_drop_prob: float = 0.2,
     frac_lengths_mask=(0.7, 1.0),
     backend: str = "sdpa",  # flash kernel has no backward yet; training uses XLA SDPA
+    valid: jax.Array | None = None,  # [b] 1=real row, 0=DP-padding duplicate
 ):
     """CFM training loss (cfm.py:231-302): flow-matching MSE over a random
     infilling span, with CFG condition drops.
@@ -195,6 +196,10 @@ def loss(
     The reference draws drop decisions per optimizer step at python level
     (cfm.py:286-291, shared across the batch); here they are traced bernoullis
     from ``key`` — same distribution, jit-compatible.
+
+    ``valid`` zeroes the loss contribution of rows duplicated to pad the batch
+    to the data-parallel size (the reference never pads, Accelerate drops the
+    remainder instead) so padded rows don't bias the masked-mean gradient.
     """
     b, n, d = mel.shape
     k_frac, k_x0, k_t, k_drop1, k_drop2 = jax.random.split(key, 5)
@@ -217,7 +222,13 @@ def loss(
     drop_audio = drop_audio | drop_both
 
     # traced drops: zero the conditioning inputs (equivalent to the reference's
-    # boolean branches in dit.py:106-112, 159-161)
+    # boolean branches in dit.py:106-112, 159-161).  Computing BOTH text-embed
+    # streams and selecting with `where` looks like a 2x waste, but it was
+    # A/B-measured against a lax.cond single-branch variant on a v5e chip
+    # (F5TTS_v1_Base, b=8 x n=1024, bf16 + remat): where = 218 ms/step vs
+    # cond = 228-241 ms/step.  The text stack is small next to the 22-block
+    # DiT and XLA's cond blocks fusion around the branch, so the dual compute
+    # wins; expected saving from branching is bounded by p(drop)=0.2 anyway.
     bb = get_backbone(arch_cfg)
     te = bb.text_embedding(params, arch_cfg, text_ids, n, lens=None)
     te_uncond = bb.text_embedding(params, arch_cfg, text_ids, n, lens=None, drop_text=True)
@@ -228,6 +239,8 @@ def loss(
 
     sq = jnp.square(pred - flow)
     w = rand_span_mask[..., None].astype(jnp.float32)
+    if valid is not None:
+        w = w * valid.astype(jnp.float32)[:, None, None]
     total = jnp.sum(sq.astype(jnp.float32) * w)
     count = jnp.maximum(jnp.sum(w) * d, 1.0)  # selected elements = masked frames * d
     return total / count

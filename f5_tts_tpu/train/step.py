@@ -72,10 +72,12 @@ def init_train_state(params, cfg: OptimConfig):
     return opt.init(params), jax.tree.map(jnp.copy, params), jnp.zeros((), jnp.int32)
 
 
-def ema_update(ema_params, params, step, cfg: OptimConfig):
+def ema_update(ema_params, params, step, cfg: OptimConfig, enabled=True):
     """ema_pytorch semantics: copy online weights until ``update_after_step``,
-    then decay-average every ``update_every`` steps."""
-    do_update = (step % cfg.ema_update_every) == 0
+    then decay-average every ``update_every`` steps.  ``step`` counts OPTIMIZER
+    updates (the reference calls ema.update() once per optimizer step,
+    trainer.py:380); ``enabled`` gates micro-steps under grad accumulation."""
+    do_update = ((step % cfg.ema_update_every) == 0) & enabled
     started = step > cfg.ema_update_after_step
     decay = jnp.where(started, cfg.ema_decay, 0.0)
     decay = jnp.where(do_update, decay, 1.0)
@@ -109,14 +111,20 @@ def train_step(
         else:
             mel = batch["mel"]
         return cfm.loss(
-            p, arch_cfg, mel, batch["text_ids"], batch["lens"], key, backend=backend
+            p, arch_cfg, mel, batch["text_ids"], batch["lens"], key, backend=backend,
+            valid=batch.get("valid"),
         )
 
     loss_val, grads = jax.value_and_grad(loss_fn)(params)
     opt = make_optimizer(opt_cfg)
     updates, opt_state = opt.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
-    step = step + 1
-    ema_params = ema_update(ema_params, params, step, opt_cfg)
+    step = step + 1  # micro-step counter; optimizer updates = step // k
+    k = opt_cfg.grad_accumulation_steps
+    # MultiSteps applies the real update on micro-steps k, 2k, ...; EMA must
+    # track OPTIMIZER updates (reference trainer.py:63-68,380), so it fires
+    # only on those micro-steps, indexed by the update count.
+    did_update = (step % k) == 0 if k > 1 else True
+    ema_params = ema_update(ema_params, params, step // k, opt_cfg, enabled=did_update)
     gnorm = optax.global_norm(grads)
     return params, opt_state, ema_params, step, {"loss": loss_val, "grad_norm": gnorm}

@@ -145,8 +145,10 @@ class Trainer:
             restored = self.load_checkpoint(state)
             if restored is not None:
                 state = restored
-                start_update = int(np.asarray(state["step"]))
-                print(f"resumed at update {start_update}")
+                start_update = int(np.asarray(state["step"]))  # micro-steps
+                k_res = max(self.opt_cfg.grad_accumulation_steps, 1)
+                print(f"resumed at micro-step {start_update} "
+                      f"(update {start_update // k_res})")
         params, opt_state, ema_params, step = (
             state["params"], state["opt_state"], state["ema"], state["step"],
         )
@@ -174,10 +176,15 @@ class Trainer:
                 random_seed=self.seed,
             )
         key = jax.random.PRNGKey(self.seed)
-        update = start_update
-        updates_per_epoch = len(sampler)
-        skip = start_update % max(updates_per_epoch, 1)
-        start_epoch = start_update // max(updates_per_epoch, 1)
+        # state["step"] counts MICRO-steps; "update" counts optimizer updates
+        # (= micro // k under grad accumulation — reference trainer.py:63-68
+        # counts per-accumulated update for warmup/save/resume bookkeeping)
+        k_accum = max(self.opt_cfg.grad_accumulation_steps, 1)
+        micro = start_update  # start_update holds restored micro-steps
+        update = micro // k_accum
+        batches_per_epoch = len(sampler)  # one batch == one micro-step
+        skip = micro % max(batches_per_epoch, 1)
+        start_epoch = micro // max(batches_per_epoch, 1)
 
         import queue as _queue
         import threading as _threading
@@ -202,40 +209,51 @@ class Trainer:
                 batch = q.get()
                 if batch is None:
                     break
+                b_real = batch["mel"].shape[0]
                 if bsh is not None:
-                    # pad batch to a multiple of the data-parallel size
+                    # pad batch to a multiple of the data-parallel size; padded
+                    # duplicate rows are marked invalid so they contribute zero
+                    # loss/grad (the reference never pads — Accelerate shards
+                    # exact per-rank batches)
                     dp = self.mesh.shape["data"]
-                    b = batch["mel"].shape[0]
-                    if b % dp:
-                        pad = dp - b % dp
-                        reps = -(-pad // b)  # repeat rows cyclically if batch < pad
+                    if b_real % dp:
+                        pad = dp - b_real % dp
+                        reps = -(-pad // b_real)  # repeat rows cyclically if batch < pad
                         for k in batch:
                             filler = np.concatenate([batch[k]] * reps, axis=0)[:pad]
                             batch[k] = np.concatenate([batch[k], filler], axis=0)
+                        batch["valid"] = np.concatenate(
+                            [np.ones(b_real, np.float32), np.zeros(pad, np.float32)]
+                        )
+                    else:
+                        batch["valid"] = np.ones(b_real, np.float32)
                     batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
                 key, sub = jax.random.split(key)
                 t0 = time.perf_counter()
                 params, opt_state, ema_params, step, metrics = self._step_fn(
                     params, opt_state, ema_params, step, batch, sub
                 )
-                update += 1
-                if update % 10 == 0 or update == 1:
+                micro += 1
+                did_update = micro % k_accum == 0
+                if did_update:
+                    update = micro // k_accum
+                if did_update and (update % 10 == 0 or update == 1):
                     loss = float(metrics["loss"])
                     self._log({
-                        "update": update, "epoch": epoch, "loss": loss,
+                        "update": update, "micro_step": micro, "epoch": epoch, "loss": loss,
                         "grad_norm": float(metrics["grad_norm"]),
                         "step_time_s": time.perf_counter() - t0,
-                        "frames": int(batch["mel"].shape[0] * batch["mel"].shape[1]),
+                        "frames": int(b_real * batch["mel"].shape[1]),
                     })
                 state = {"params": params, "opt_state": opt_state, "ema": ema_params, "step": step}
-                if update % self.save_per_updates == 0:
+                if did_update and update % self.save_per_updates == 0:
                     self.save_checkpoint(state, update)
                     if self.log_samples_fn is not None:  # reference log_samples (:408-438)
                         try:
                             self.log_samples_fn(ema_params, update)
                         except Exception as e:  # noqa: BLE001 — sampling must not kill training
                             print(f"log_samples failed at update {update}: {e}")
-                if update % self.last_per_updates == 0:
+                if did_update and update % self.last_per_updates == 0:
                     self.save_checkpoint(state, update, last=True)
             skip = 0
         self.save_checkpoint(state, update, last=True)
