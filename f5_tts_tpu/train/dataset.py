@@ -189,21 +189,31 @@ def pad_frames_to(n: int, multiple: int = 256) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def collate_batch(items: list[dict], vocab, tokenizer: str, frame_multiple: int = 256) -> dict:
+def collate_batch(items: list[dict], vocab, tokenizer: str, frame_multiple: int = 256,
+                  mel_len: int | None = None, text_len: int | None = None) -> dict:
     """Pad mels to a bucketed max length and tokenize texts.
-    Returns {"mel" [b,n,d], "text_ids" [b,nt], "lens" [b]} as numpy."""
+    Returns {"mel" [b,n,d], "text_ids" [b,nt], "lens" [b]} as numpy.
+
+    ``mel_len``/``text_len`` pin the padded widths — multi-host training needs
+    every process to collate ITS slice to the same global shapes without
+    seeing other hosts' rows (widths are derived from sampler metadata)."""
     from f5_tts_tpu.infer.pipeline import text_to_ids
 
     lens = np.asarray([it["mel"].shape[0] for it in items], np.int32)
-    n = pad_frames_to(int(lens.max()), frame_multiple)
+    n = mel_len if mel_len is not None else pad_frames_to(int(lens.max()), frame_multiple)
     d = items[0]["mel"].shape[1]
     mel = np.zeros((len(items), n, d), np.float32)
     for i, it in enumerate(items):
-        mel[i, : lens[i]] = it["mel"]
+        m = it["mel"][:n]
+        mel[i, : len(m)] = m
+    lens = np.minimum(lens, n)
     ids = text_to_ids([it["text"] for it in items], vocab, tokenizer)
     # pad text to a stable width too (text <= frames always holds downstream)
-    nt = pad_frames_to(ids.shape[1], 64)
-    ids = np.pad(ids, ((0, 0), (0, nt - ids.shape[1])), constant_values=-1)
+    nt = text_len if text_len is not None else pad_frames_to(ids.shape[1], 64)
+    if ids.shape[1] < nt:
+        ids = np.pad(ids, ((0, 0), (0, nt - ids.shape[1])), constant_values=-1)
+    else:
+        ids = ids[:, :nt]
     return {"mel": mel, "text_ids": ids, "lens": lens}
 
 

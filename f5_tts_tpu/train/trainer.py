@@ -91,11 +91,19 @@ class Trainer:
 
         tag = "last" if last else str(update)
         path = self._ckpt_path(tag)
-        if os.path.exists(path):
+        if jax.process_count() > 1:
+            # multi-host: orbax saves are collective; only process 0 clears
+            # the target, everyone syncs before writing (shared filesystem)
+            from jax.experimental import multihost_utils
+
+            if jax.process_index() == 0 and os.path.exists(path):
+                shutil.rmtree(path)
+            multihost_utils.sync_global_devices("f5_ckpt_clear")
+        elif os.path.exists(path):
             shutil.rmtree(path)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, state)
-        if not last and self.keep_last_n_checkpoints >= 0:
+        if not last and self.keep_last_n_checkpoints >= 0 and jax.process_index() == 0:
             self._rotate()
 
     def _rotate(self) -> None:
@@ -130,6 +138,8 @@ class Trainer:
 
     # ------------------------------------------------------------------ log
     def _log(self, rec: dict) -> None:
+        if jax.process_index() != 0:  # one metrics stream per run
+            return
         with open(self.log_file, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if self.wandb is not None and getattr(self.wandb, "run", None):
@@ -189,14 +199,52 @@ class Trainer:
         import queue as _queue
         import threading as _threading
 
+        n_proc = jax.process_count()
+        multihost = self.mesh is not None and n_proc > 1
+
         def batch_producer(skip_n, out_q: "_queue.Queue"):
             """Host-side load+collate runs ahead of the device (the reference
-            leans on DataLoader workers; here a producer thread + queue)."""
+            leans on DataLoader workers; here a producer thread + queue).
+
+            Multi-host: every process iterates the SAME sampler order but
+            loads/collates only ITS contiguous slice of each global batch
+            (the per-rank dataloader-shard counterpart of reference
+            trainer.py:327-329).  Global padded widths come from sampler
+            metadata so all hosts agree on shapes without sharing rows."""
+            import math
+
+            from f5_tts_tpu.train.dataset import pad_frames_to
+
             for bi, batch_idx in enumerate(sampler):
                 if bi < skip_n:
                     continue
-                items = [dataset[i] for i in batch_idx]
-                out_q.put(collate_batch(items, self.vocab, self.model_cfg.tokenizer))
+                if multihost:
+                    from f5_tts_tpu.parallel.distributed import process_batch_slice
+
+                    dp = self.mesh.shape["data"]
+                    b_real = len(batch_idx)
+                    idx = list(batch_idx)
+                    if b_real % dp:
+                        pad = dp - b_real % dp
+                        idx += [idx[i % b_real] for i in range(pad)]
+                    valid = np.concatenate(
+                        [np.ones(b_real, np.float32), np.zeros(len(idx) - b_real, np.float32)]
+                    )
+                    n_global = pad_frames_to(
+                        max(int(math.ceil(dataset.get_frame_len(i))) for i in idx), 256
+                    )
+                    start, size = process_batch_slice(len(idx))
+                    items = [dataset[i] for i in idx[start : start + size]]
+                    local = collate_batch(
+                        items, self.vocab, self.model_cfg.tokenizer,
+                        mel_len=n_global, text_len=n_global,
+                    )
+                    local["valid"] = valid[start : start + size]
+                    local["_b_real"] = b_real  # global real rows, for metrics
+                    out_q.put(local)
+                else:
+                    items = [dataset[i] for i in batch_idx]
+                    out_q.put(collate_batch(items, self.vocab, self.model_cfg.tokenizer))
             out_q.put(None)
 
         for epoch in range(start_epoch, epochs):
@@ -210,7 +258,15 @@ class Trainer:
                 if batch is None:
                     break
                 b_real = batch["mel"].shape[0]
-                if bsh is not None:
+                if multihost:
+                    # producer already sliced/padded/marked validity; assemble
+                    # the global array from this process's local shard
+                    b_real = batch.pop("_b_real")
+                    batch = {
+                        k: jax.make_array_from_process_local_data(bsh, v)
+                        for k, v in batch.items()
+                    }
+                elif bsh is not None:
                     # pad batch to a multiple of the data-parallel size; padded
                     # duplicate rows are marked invalid so they contribute zero
                     # loss/grad (the reference never pads — Accelerate shards
