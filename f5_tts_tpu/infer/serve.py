@@ -92,7 +92,11 @@ class BatchServer:
             reqs = reqs + [reqs[-1]] * pad  # pad batch with a repeat
             t0 = time.perf_counter()
             if self.mesh is not None:
-                _, ws, _ = self._run_sharded(reqs)
+                # the mesh context is THREAD-LOCAL: enter it per worker thread
+                # so overlapped batches work under a mesh too (round-1 had to
+                # disable overlap because the context lived on the caller)
+                with self.mesh:
+                    _, ws, _ = self._run_sharded(reqs)
             else:
                 _, ws, _ = eng.generate_batch(
                     [r.ref_mel for r in reqs], [r.text_ids for r in reqs],
@@ -101,20 +105,18 @@ class BatchServer:
                 )
             return grp, ws, time.perf_counter() - t0
 
-        ctx = self.mesh or _nullcontext()
-        with ctx:
-            if overlap > 1 and self.mesh is None and len(groups) > 1:
-                with ThreadPoolExecutor(max_workers=overlap) as ex:
-                    for grp, ws, lat in ex.map(run_group, groups):
-                        latencies.append(lat)
-                        for j, i in enumerate(grp):
-                            wavs[i] = ws[j]
-            else:
-                for grp in groups:
-                    g, ws, lat = run_group(grp)
+        if overlap > 1 and len(groups) > 1:
+            with ThreadPoolExecutor(max_workers=overlap) as ex:
+                for grp, ws, lat in ex.map(run_group, groups):
                     latencies.append(lat)
-                    for j, i in enumerate(g):
+                    for j, i in enumerate(grp):
                         wavs[i] = ws[j]
+        else:
+            for grp in groups:
+                g, ws, lat = run_group(grp)
+                latencies.append(lat)
+                for j, i in enumerate(g):
+                    wavs[i] = ws[j]
         return [wavs[i] for i in range(len(requests))], latencies
 
     def _run_sharded(self, reqs: list[Request]):
@@ -153,14 +155,6 @@ class BatchServer:
         )
         wavs, gen_frames = eng._trim_wavs(wav, duration, lens)
         return None, wavs, gen_frames
-
-
-class _nullcontext:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
 
 
 def rtf_report(wavs: list[np.ndarray], latencies: list[float], sample_rate: int = 24_000) -> dict:

@@ -7,11 +7,18 @@ pypinyin TONE3 with tone sandhi).  TPU build uses:
 - pinyin lookup backends, in priority order:
     1. ``pypinyin`` (lazy_pinyin, Style.TONE3, tone_sandhi=True) if installed —
        exact reference parity;
-    2. a user-supplied table file (one ``char<TAB>pinyin_tone3`` per line) via
-       $F5_TTS_TPU_PINYIN_TABLE or ``set_pinyin_table`` — no sandhi;
-    3. identity fallback (emits the raw char) with a one-time warning — keeps
-       the pipeline functional for EN/char text in environments without any
-       pinyin data (this zero-egress image has none).
+    2. the BUNDLED table (data/pinyin_table.tsv, ~4.4k chars + ~400 polyphone
+       word overrides curated in scripts/pinyin_data.py, every syllable
+       validated against the Emilia vocab) or a user-supplied file via
+       $F5_TTS_TPU_PINYIN_TABLE / ``set_pinyin_table``; tone sandhi (3-3,
+       不, 一 — the rules pypinyin's tone_sandhi applies per word) runs
+       natively, so zh G2P works out-of-the-box with no optional deps;
+    3. identity fallback (emits the raw char) with a one-time warning.
+
+Table file format: ``entry<TAB>pinyin`` per line; ``entry`` is one char or a
+word (value then holds space-separated per-char syllables).  Neutral tones
+carry no digit (pypinyin TONE3 convention; such tokens are OOV in the vocab
+and map to 0, same as the reference).
 """
 
 from __future__ import annotations
@@ -65,6 +72,29 @@ def _resolve_backend() -> str:
     return _backend
 
 
+def _apply_sandhi(seg: str, syls: list[str]) -> list[str]:
+    """Mandarin tone sandhi within one word, mirroring the rules pypinyin's
+    ``tone_sandhi=True`` applies per lazy_pinyin call (reference
+    model/utils.py:179): consecutive third tones 3-3 -> 2-3; 不 -> bu2 before
+    tone 4; 一 -> yi2 before tone 4, yi4 before tones 1/2/3."""
+    out = list(syls)
+    for i in range(len(out) - 1):
+        if out[i][-1:] == "3" and out[i + 1][-1:] == "3":
+            out[i] = out[i][:-1] + "2"
+    for i, ch in enumerate(seg[:-1]):
+        if i >= len(out) - 1:
+            break
+        nxt_tone = out[i + 1][-1:]
+        if ch == "不" and nxt_tone == "4":
+            out[i] = "bu2"
+        elif ch == "一":
+            if nxt_tone == "4":
+                out[i] = "yi2"
+            elif nxt_tone in "123":
+                out[i] = "yi4"
+    return out
+
+
 def _pinyin_seg(seg: str) -> list[str]:
     """Pinyin for a pure-CJK segment, one syllable per char."""
     global _warned
@@ -74,7 +104,11 @@ def _pinyin_seg(seg: str) -> list[str]:
 
         return lazy_pinyin(seg, style=Style.TONE3, tone_sandhi=True)
     if backend == "table":
-        return [_table.get(c, c) for c in seg]
+        word = _table.get(seg)
+        if word is not None and len(seg) > 1:
+            return _apply_sandhi(seg, word.split())
+        syls = [(_table.get(c, c) or c).split()[0] for c in seg]
+        return _apply_sandhi(seg, syls)
     if not _warned:
         warnings.warn(
             "No pinyin backend available (pypinyin not installed, no table file);"

@@ -31,18 +31,49 @@ def test_custom_punctuation_translation():
     assert "," in s and '"' in s and "'" in s
 
 
-def test_chinese_passthrough_with_space_prefix():
-    # no pinyin backend here: each CJK char emitted with a leading space token
+def test_chinese_converts_with_bundled_table():
+    # the bundled table + native sandhi: 你好 is 3-3 -> 2-3
     out = convert_char_to_pinyin(["你好"])[0]
-    assert out[0] == " "
-    joined = "".join(out)
-    assert "你" in joined and "好" in joined
+    assert out == [" ", "ni2", " ", "hao3"], out
+
+
+def test_bundled_table_sandhi_rules():
+    # 不 -> bu2 before tone 4; 一 -> yi2 before 4, yi4 before 1/2/3
+    assert convert_char_to_pinyin(["不是"])[0] == [" ", "bu2", " ", "shi4"]
+    assert convert_char_to_pinyin(["不好"])[0] == [" ", "bu4", " ", "hao3"]
+    one_day = "".join(convert_char_to_pinyin(["一天"])[0]).split()
+    assert one_day == ["yi4", "tian1"]
+    one_ge = "".join(convert_char_to_pinyin(["一个"])[0]).split()
+    assert one_ge == ["yi2", "ge4"]
+
+
+def test_bundled_table_word_overrides():
+    # polyphones resolved at word level (pypinyin phrase-dict semantics)
+    assert "yin2 hang2" == " ".join("".join(convert_char_to_pinyin(["银行"])[0]).split())
+    assert "yin1 yue4" == " ".join("".join(convert_char_to_pinyin(["音乐"])[0]).split())
+    # 行 standalone/other contexts keeps xing2
+    assert "xing2" in "".join(convert_char_to_pinyin(["行人"])[0])
+
+
+def test_zh_sentence_tokenizes_into_vocab():
+    """zh text -> token stream with no optional deps (VERDICT round-1 item 10):
+    every toned syllable must hit a real vocab id."""
+    vocab, _ = get_tokenizer(None, "pinyin")
+    out = convert_char_to_pinyin(["我们今天去公园，天气很好。"])
+    toks = out[0]
+    syls = [t for t in toks if t not in (" ",) and len(t) > 1]
+    assert syls, toks
+    for t in syls:
+        if t[-1].isdigit():
+            assert t in vocab, f"{t} not in vocab"
+    ids = tokens_to_ids(out, vocab)
+    assert (ids[ids != -1] > 0).sum() >= len(syls)
 
 
 def test_mixed_text_keeps_ascii():
     out = convert_char_to_pinyin(["abc中xyz"])[0]
     s = "".join(out)
-    assert "a" in s and "b" in s and "z" in s and "中" in s
+    assert "a" in s and "b" in s and "z" in s and "zhong1" in s
 
 
 def test_is_chinese_range():

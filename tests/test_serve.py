@@ -54,6 +54,12 @@ def test_batch_server_sharded_mesh():
     for a, b in zip(wavs, wavs2):
         np.testing.assert_allclose(a, b, atol=2e-4)
 
+    # overlapped batches under a mesh (thread-local mesh context entered per
+    # worker) give the same results as serial execution
+    wavs3, _ = srv.run(reqs, overlap=2)
+    for a, b in zip(wavs3, wavs):
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
 
 def test_http_server_roundtrip(tmp_path):
     import threading
