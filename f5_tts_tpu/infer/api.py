@@ -113,6 +113,15 @@ class F5TTS:
                 voc_params = vocos_model.init(jax.random.PRNGKey(1))
         else:
             voc_params = None
+            import warnings
+
+            warnings.warn(
+                "no vocoder weights (vocoder_local_path not set and"
+                " init_random=False): the engine runs mel-only and waveform"
+                " calls will fail — download Vocos/BigVGAN weights and pass"
+                " vocoder_local_path",
+                stacklevel=2,
+            )
 
         self.engine = InferenceEngine(
             dit_params,

@@ -132,6 +132,12 @@ def infer_batch_process(
         seeds=seeds,
         fetch_mel=not streaming,
     )
+    if not wavs and any(g > 0 for g in gen_frames):
+        raise RuntimeError(
+            "the engine has no vocoder weights (mel-only mode), so no waveform"
+            " was decoded — pass vocoder_local_path (or init_random for smoke"
+            " tests) when constructing the model"
+        )
     if 0 < audio_rms < target_rms:
         wavs = [w * (audio_rms / target_rms) for w in wavs]
 

@@ -34,13 +34,17 @@ def probe_duration(path: str) -> float | None:
 
 def read_csv(csv_path: str):
     rows = []
+    base = os.path.dirname(os.path.abspath(csv_path))
     with open(csv_path, encoding="utf-8-sig") as f:
         reader = csv.reader(f, delimiter="|")
         header = next(reader, None)
         assert header and header[0].strip() == "audio_file", "CSV must start with 'audio_file|text'"
         for parts in reader:
             if len(parts) >= 2:
-                rows.append((parts[0].strip(), "|".join(parts[1:]).strip()))
+                path = parts[0].strip()
+                if not os.path.isabs(path):  # relative to the csv's directory
+                    path = os.path.join(base, path)
+                rows.append((path, "|".join(parts[1:]).strip()))
     return rows
 
 

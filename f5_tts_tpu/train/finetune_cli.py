@@ -17,8 +17,12 @@ import jax
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="f5-tts_finetune-cli")
+    from f5_tts_tpu.models.configs import MODEL_CONFIGS as _MC
+
+    # reference offers its three shipped archs; the small/tiny configs are
+    # also accepted here (cheap smoke finetunes, CI walkthroughs)
     p.add_argument("--exp_name", type=str, default="F5TTS_v1_Base",
-                   choices=["F5TTS_v1_Base", "F5TTS_Base", "E2TTS_Base"])
+                   choices=sorted(_MC.keys()))
     p.add_argument("--dataset_name", type=str, default="my_speak")
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--pretrain", type=str, default=None, help="local pretrained ckpt path")
