@@ -6,9 +6,11 @@ modulation per stream, joint attention over the concatenated [audio, text]
 sequence with separate rotary tables, last block ``context_pre_only``.
 
 Blocks 0..depth-2 are scan-stacked; the final block (no text-stream FF/out
-projection) is kept separate.  Joint attention uses the XLA SDPA path — the
-concatenated two-segment key mask is not a prefix mask, which the flash kernel
-assumes.
+projection) is kept separate.  Joint attention dispatches between XLA SDPA
+and the TWO-SEGMENT Pallas flash kernel (ops/flash_attention.py
+flash_attention_two_segment): both segment masks are prefixes (length-masked
+audio, trailing-padded text), so the kernel models validity as two prefix
+windows [0, len_a) and [n, n + len_t).
 """
 
 from __future__ import annotations
@@ -100,7 +102,8 @@ def audio_embedding(params, x, cond, drop_audio_cond=False):
     return L.conv_pos_embed(p["conv_pos"], h) + h
 
 
-def _joint_attention(p, xn, cn, heads, rope_a, rope_t, mask, c_mask, context_pre_only, attn_mask_enabled):
+def _joint_attention(p, xn, cn, heads, rope_a, rope_t, mask, c_mask, context_pre_only,
+                     attn_mask_enabled, backend="sdpa"):
     b, n, _ = xn.shape
     nt = cn.shape[1]
 
@@ -123,11 +126,28 @@ def _joint_attention(p, xn, cn, heads, rope_a, rope_t, mask, c_mask, context_pre
     K = jnp.concatenate([k, ck], axis=2)
     V = jnp.concatenate([v, cv], axis=2)
 
-    attn_mask = None
+    out = None
     if attn_mask_enabled and mask is not None:
         cm = c_mask if c_mask is not None else jnp.ones((b, nt), bool)
-        attn_mask = jnp.concatenate([mask, cm], axis=1)
-    out = sdpa(Q, K, V, attn_mask)
+        if backend in ("flash", "auto"):
+            # both segment masks are prefixes (lens_to_mask audio, trailing -1
+            # text padding), so the two-segment Pallas kernel applies
+            from f5_tts_tpu.ops.flash_attention import (
+                flash_attention_two_segment, flash_seg_supported)
+
+            if backend == "flash" or flash_seg_supported(Q):
+                out = flash_attention_two_segment(
+                    Q, K, V, jnp.sum(mask, axis=-1), jnp.sum(cm, axis=-1), seg=n)
+        if out is None:
+            out = sdpa(Q, K, V, jnp.concatenate([mask, cm], axis=1))
+    else:
+        if backend in ("flash", "auto"):
+            from f5_tts_tpu.ops.flash_attention import flash_attention, flash_supported
+
+            if backend == "flash" or flash_supported(Q):
+                out = flash_attention(Q, K, V, None)
+        if out is None:
+            out = sdpa(Q, K, V, None)
     out = out.transpose(0, 2, 1, 3).reshape(b, n + nt, -1)
     xo, co = out[:, :n], out[:, n:]
     xo = L.linear(p["to_out"], xo)
@@ -143,14 +163,14 @@ def _joint_attention(p, xn, cn, heads, rope_a, rope_t, mask, c_mask, context_pre
 
 
 def _block(bp, x, c, t_emb, cfg: MMDiTConfig, rope_a, rope_t, mask, c_mask,
-           context_pre_only: bool, attn_mask_enabled: bool):
+           context_pre_only: bool, attn_mask_enabled: bool, backend: str = "sdpa"):
     if context_pre_only:
         norm_c = L.adaln_final(bp["attn_norm_c"], c, t_emb)
     else:
         norm_c, c_gate, c_shift, c_scale, c_gate_mlp = L.adaln(bp["attn_norm_c"], c, t_emb)
     norm_x, x_gate, x_shift, x_scale, x_gate_mlp = L.adaln(bp["attn_norm_x"], x, t_emb)
     xo, co = _joint_attention(bp["attn"], norm_x, norm_c, cfg.heads, rope_a, rope_t,
-                              mask, c_mask, context_pre_only, attn_mask_enabled)
+                              mask, c_mask, context_pre_only, attn_mask_enabled, backend)
     if context_pre_only:
         c = None
     else:
@@ -176,7 +196,6 @@ def forward(
     backend: str = "sdpa",
     attn_mask_enabled: bool = False,
 ):
-    del backend  # joint attention runs SDPA (two-segment mask)
     b, n, _ = x.shape
     nt = text_emb.shape[1]
     if time.ndim == 0:
@@ -191,24 +210,25 @@ def forward(
     def body(carry, bp):
         xx, cc = carry
         xx, cc = _block(bp, xx, cc, t_emb, cfg, rope_a, rope_t, mask, c_mask,
-                        False, attn_mask_enabled)
+                        False, attn_mask_enabled, backend)
         return (xx, cc), None
 
     (h, c), _ = jax.lax.scan(body, (h, c), params["blocks"])
     h, _ = _block(params["last_block"], h, c, t_emb, cfg, rope_a, rope_t, mask, c_mask,
-                  True, attn_mask_enabled)
+                  True, attn_mask_enabled, backend)
     h = L.adaln_final(params["norm_out"], h, t_emb)
     return L.linear(params["proj_out"], h)
 
 
 def forward_with_text(
     params, cfg: MMDiTConfig, x, cond, text_ids, time, mask=None, lens=None,
-    drop_audio_cond=False, drop_text=False, backend="sdpa",
+    drop_audio_cond=False, drop_text=False, backend="sdpa", attn_mask_enabled=False,
 ):
     te = text_embedding(params, cfg, text_ids, drop_text=drop_text).astype(x.dtype)
     c_mask = (text_ids + 1) != 0
     return forward(params, cfg, x, cond, te, time, mask=mask, c_mask=c_mask,
-                   drop_audio_cond=drop_audio_cond, backend=backend)
+                   drop_audio_cond=drop_audio_cond, backend=backend,
+                   attn_mask_enabled=attn_mask_enabled)
 
 
 def forward_cfg(

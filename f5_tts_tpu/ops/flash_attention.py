@@ -316,6 +316,84 @@ def flash_attention_trainable(q, k, v, mask=None, block_q: int = 256, block_k: i
     return _flash_diff(q, k, v, lens, _pick_block(n, block_q), _pick_block(n, block_k))
 
 
+# --------------------------------------------------------- two-segment mask
+# MMDiT joint attention runs over the concatenated [audio, text] sequence
+# (reference modules.py:563-705): validity is TWO prefixes — audio cols
+# [0, len_a) and text cols [seg, seg + len_t).  Same online-softmax kernel,
+# two-part column mask.
+
+
+def _kernel_seg(lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k, n_kv, heads, seg):
+    bh = pl.program_id(0)
+    b = bh // heads
+    len_a = lens_ref[b, 0]
+    len_t = lens_ref[b, 1]
+    q = q_ref[0].astype(jnp.bfloat16)
+    bq, dh = q.shape
+    m = jnp.full((bq, 1), NEG_BIG, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, dh), jnp.float32)
+    for j in range(n_kv // block_k):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+        valid = (col < len_a) | ((col >= seg) & (col < seg + len_t))
+        s = jnp.where(valid, s, NEG_BIG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = m_new
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seg", "block_q", "block_k"))
+def _flash_seg(q, k, v, lens2, seg: int, block_q: int, block_k: int):
+    b, h, n, dh = q.shape
+    scale = dh**-0.5
+    qf, kf, vf = (x.reshape(b * h, n, dh) for x in (q, k, v))
+    kernel = functools.partial(_kernel_seg, scale=scale, block_k=block_k,
+                               n_kv=n, heads=h, seg=seg)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda bh, iq, *_: (bh, iq, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, *_: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, iq, *_: (bh, iq, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
+    )(lens2, qf, kf, vf)
+    return out.reshape(b, h, n, dh)
+
+
+def flash_attention_two_segment(q, k, v, lens_a, lens_t, seg: int,
+                                block_q: int = 256, block_k: int = 512):
+    """Flash attention with a two-prefix key mask: cols [0, lens_a[i]) and
+    [seg, seg + lens_t[i]) are valid for batch row i.  The MMDiT joint-
+    attention counterpart of ``flash_attention``'s single prefix."""
+    b, h, n, dh = q.shape
+    lens2 = jnp.stack([lens_a.astype(jnp.int32), lens_t.astype(jnp.int32)], axis=1)
+    return _flash_seg(q, k, v, lens2, seg, _pick_block(n, block_q), _pick_block(n, block_k))
+
+
+def flash_seg_supported(q) -> bool:
+    if jax.default_backend() == "cpu":
+        return False
+    b, h, n, dh = q.shape
+    return n >= 256 and n % 128 == 0 and dh % 64 == 0
+
+
 def flash_supported(q) -> bool:
     """Shape/platform gate for the ``auto`` backend."""
     if jax.default_backend() == "cpu":

@@ -83,6 +83,67 @@ def test_pick_block():
     assert FA._pick_block(192, 256) == 192
 
 
+def test_two_segment_flash_matches_sdpa():
+    """MMDiT joint-attention mask: audio prefix + text prefix at offset seg."""
+    rng = np.random.default_rng(9)
+    b, h, dh = 2, 2, 64
+    n_audio, n_text = 256, 128
+    n = n_audio + n_text
+    q = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    lens_a = jnp.asarray([256, 180])
+    lens_t = jnp.asarray([128, 40])
+    pos = np.arange(n)
+    mask = (pos[None, :] < np.asarray(lens_a)[:, None]) | (
+        (pos[None, :] >= n_audio)
+        & (pos[None, :] < n_audio + np.asarray(lens_t)[:, None])
+    )
+    got = np.asarray(FA.flash_attention_two_segment(q, k, v, lens_a, lens_t, seg=n_audio))
+    want = np.asarray(sdpa(q, k, v, jnp.asarray(mask)))
+    mm = mask[:, None, :, None]
+    np.testing.assert_allclose(got * mm, want * mm, atol=2e-2, rtol=1e-2)
+    assert np.abs(got * mm - want * mm).mean() < 2e-3
+
+
+def test_mmdit_flash_backend_matches_sdpa():
+    import jax as _jax
+
+    from f5_tts_tpu.models import mmdit as M
+    from tests.test_mmdit import SMALL as MM_SMALL
+
+    cfg = MM_SMALL
+    params = M.init(_jax.random.PRNGKey(0), cfg)
+    # zero-init AdaLN gates would gate attention OUT of the output and make
+    # this parity check vacuous — randomize them
+    from f5_tts_tpu.models import layers as L
+
+    ks = _jax.random.split(_jax.random.PRNGKey(7), cfg.depth - 1)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[{"x": L.adaln_init(k, cfg.dim, zero=False),
+           "c": L.adaln_init(k, cfg.dim, zero=False)} for k in ks])
+    params["blocks"]["attn_norm_x"] = stacked["x"]
+    params["blocks"]["attn_norm_c"] = stacked["c"]
+    rng = np.random.default_rng(4)
+    b, n, nt = 2, 128, 64  # within SMALL max_pos; joint 192
+    x = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    text = np.full((b, nt), -1, np.int32)
+    text[0, :40] = rng.integers(0, cfg.text_num_embeds, 40)
+    text[1, :22] = rng.integers(0, cfg.text_num_embeds, 22)
+    time = jnp.asarray([0.3, 0.8], jnp.float32)
+    mask = jnp.asarray(np.arange(n)[None, :] < np.asarray([[n], [90]]))
+
+    a = np.asarray(M.forward_with_text(params, cfg, x, cond, jnp.asarray(text), time,
+                                       mask=mask, backend="sdpa", attn_mask_enabled=True))
+    f = np.asarray(M.forward_with_text(params, cfg, x, cond, jnp.asarray(text), time,
+                                       mask=mask, backend="flash", attn_mask_enabled=True))
+    mm = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(a * mm, f * mm, atol=2e-2, rtol=1e-2)
+    assert np.abs((a - f) * mm).mean() < 2e-3
+
+
 def test_flash_supported_gating():
     q = jnp.zeros((1, 2, 512, 64))
     assert not FA.flash_supported(q) or jax.default_backend() != "cpu"
