@@ -47,6 +47,9 @@ class EngineOptions:
     sway_sampling_coef: float | None = -1.0
     use_epss: bool = True
     backend: str = "auto"  # attention backend
+    # W8A8 int8 DiT block linears (Pallas kernel, ops/quant.py) — experimental
+    # serving option, quality-gate with scripts/quant_ab.py before production
+    quantize: bool = False
 
     def sample_opts(self) -> cfm.SampleOptions:
         return cfm.SampleOptions(
@@ -198,6 +201,10 @@ class InferenceEngine:
         if self.fused_qkv:
             dit_params = backbone.fuse_for_inference(dit_params)
         self.dit_params = params_astype(dit_params, dtype)
+        if options.quantize:
+            from f5_tts_tpu.ops.quant import quantize_dit_blocks
+
+            self.dit_params = quantize_dit_blocks(self.dit_params)
         self.vocoder_params = vocoder_params  # vocoder runs fp32 (cheap, quality-critical)
         self.vocoder_type = vocoder_type or model_cfg.mel.mel_spec_type
         self.vocoder_cfg = vocoder_cfg  # None -> backend defaults

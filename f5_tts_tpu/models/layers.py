@@ -49,7 +49,16 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True, zero: bool = 
 
 
 def linear(p, x):
-    y = x @ p["kernel"]
+    if "kernel_q" in p:  # W8A8 serving path (ops/quant.py, EngineOptions.quantize)
+        from f5_tts_tpu.ops.quant import int8_matmul, quantize_rows
+
+        shp = x.shape
+        x2 = x.reshape(-1, shp[-1])
+        x_q, xs = quantize_rows(x2)
+        y = int8_matmul(x_q, xs, p["kernel_q"], p["w_scale"])
+        y = y.reshape(*shp[:-1], -1).astype(x.dtype)
+    else:
+        y = x @ p["kernel"]
     if "bias" in p:
         y = y + p["bias"]
     return y

@@ -55,9 +55,14 @@ def int8_matmul(
 ) -> jax.Array:
     m, k = x_q.shape
     _, n = w_q.shape
-    block_m = min(block_m, m)
-    block_n = min(block_n, n)
-    block_k = min(block_k, k)
+    # blocks must DIVIDE their dims — the grid / unrolled-K loop has no
+    # remainder handling (same failure family as the flash kernel's old
+    # fixed block_k: silently dropped tails)
+    from f5_tts_tpu.ops.flash_attention import _pick_block
+
+    block_m = _pick_block(m, block_m)
+    block_n = _pick_block(n, block_n)
+    block_k = _pick_block(k, block_k)
     grid = (m // block_m, n // block_n)
     return pl.pallas_call(
         functools.partial(_kernel, block_k=block_k, k_total=k),
@@ -82,3 +87,43 @@ def quantized_linear(x: jax.Array, w: jax.Array, bias: jax.Array | None = None) 
     if bias is not None:
         y = y + bias
     return y
+
+
+# ------------------------------------------------------------ serving wiring
+
+
+def quantize_linear_params(lin: dict) -> dict:
+    """{"kernel" [.., k, n], "bias"?} -> {"kernel_q" int8, "w_scale" f32,
+    "bias"?}; stacked (scan) leading depth axes quantize per block."""
+    w = lin["kernel"]
+    qf = quantize_cols
+    for _ in range(w.ndim - 2):
+        qf = jax.vmap(qf)
+    w_q, ws = qf(jnp.asarray(w, jnp.float32))
+    out = {"kernel_q": w_q, "w_scale": ws}
+    if "bias" in lin:
+        out["bias"] = lin["bias"]
+    return out
+
+
+def quantize_dit_blocks(params: dict) -> dict:
+    """W8A8-quantize the hot scan-stacked DiT block linears (attention
+    projections + feedforward); everything else (AdaLN, embeddings, output
+    head) stays dense.  The engine applies this behind EngineOptions.quantize
+    (the analog of the reference TRT path's fp8 option,
+    scripts/convert_checkpoint.py:225-231)."""
+    params = dict(params)
+    blocks = dict(params["blocks"])
+    if "attn" in blocks:
+        attn = dict(blocks["attn"])
+        for k in ("to_q", "to_k", "to_v", "to_qkv", "to_out"):
+            if k in attn:
+                attn[k] = quantize_linear_params(attn[k])
+        blocks["attn"] = attn
+    if "ff" in blocks:
+        ff = dict(blocks["ff"])
+        for k in ("in", "out"):
+            ff[k] = quantize_linear_params(ff[k])
+        blocks["ff"] = ff
+    params["blocks"] = blocks
+    return params
