@@ -32,6 +32,7 @@ from f5_tts_tpu.infer.pipeline import (
     infer_process,
 )
 from f5_tts_tpu.models import vocos as vocos_model
+from f5_tts_tpu.models import configs as configs_mod
 from f5_tts_tpu.models.configs import MODEL_CONFIGS, ModelConfig, with_vocab_size
 from f5_tts_tpu.text.tokenizer import get_tokenizer
 from f5_tts_tpu.utils import ckpt as ckpt_util
@@ -51,9 +52,17 @@ class F5TTS:
         dtype=None,
         nfe_step: int = NFE_STEP,
         init_random: bool = False,
+        model_cfg: dict | None = None,
     ):
         assert ode_method == "euler", "TPU build ships the fixed-step Euler sampler"
-        model_cfg: ModelConfig = MODEL_CONFIGS[model]
+        if model_cfg:  # custom-arch dict, flat reference format (infer_gradio.py:1037-1068)
+            arch_kw = dict(model_cfg)
+            backbone_name = arch_kw.pop("backbone", "DiT")
+            model_cfg = configs_mod.from_yaml_dict(
+                {"name": model, "backbone": backbone_name, "arch": arch_kw}
+            )
+        else:
+            model_cfg: ModelConfig = MODEL_CONFIGS[model]
         self.vocab, vocab_size = get_tokenizer(vocab_file or None, model_cfg.tokenizer)
         model_cfg = with_vocab_size(model_cfg, vocab_size)
         self.model_cfg = model_cfg
@@ -191,6 +200,9 @@ class F5TTS:
         (wav, sr), ref_text = preprocess_ref_audio_text(
             ref_file, ref_text, show_info=show_info, transcribe_fn=transcribe_fn
         )
+        # surface the clipped/transcribed ref text so UIs can write it back
+        # (reference infer_gradio.py returns ref_text from its infer())
+        self.last_ref_text = ref_text
 
         eng = self.engine
         if (
