@@ -189,6 +189,8 @@ def loss(
     frac_lengths_mask=(0.7, 1.0),
     backend: str = "sdpa",  # flash kernel has no backward yet; training uses XLA SDPA
     valid: jax.Array | None = None,  # [b] 1=real row, 0=DP-padding duplicate
+    block_scan=None,  # pipeline-parallel block schedule (parallel/pipeline.py)
+    activation_constraint=None,  # sequence-parallel sharding pin (parallel/sequence.py)
 ):
     """CFM training loss (cfm.py:231-302): flow-matching MSE over a random
     infilling span, with CFG condition drops.
@@ -235,7 +237,12 @@ def loss(
     te = jnp.where(drop_both, te_uncond.astype(x1.dtype), te.astype(x1.dtype))
     cond_in = jnp.where(drop_audio, 0.0, cond)
 
-    pred = bb.forward(params, arch_cfg, phi, cond_in, te, time, mask=mask, backend=backend)
+    extra = {}
+    if block_scan is not None:
+        extra["block_scan"] = block_scan
+    if activation_constraint is not None:
+        extra["activation_constraint"] = activation_constraint
+    pred = bb.forward(params, arch_cfg, phi, cond_in, te, time, mask=mask, backend=backend, **extra)
 
     sq = jnp.square(pred - flow)
     w = rand_span_mask[..., None].astype(jnp.float32)

@@ -135,6 +135,11 @@ def forward(
     mask: jax.Array | None = None,  # [b, n] bool
     drop_audio_cond: bool = False,
     backend: str = "auto",
+    block_scan=None,  # optional override for the block-stack loop, e.g. the
+    # pipeline-parallel schedule (parallel/pipeline.py make_dit_block_scan);
+    # called as block_scan(stacked_blocks, h, t_emb, mask, rope) -> h
+    activation_constraint=None,  # optional h -> h sharding pin, e.g. sequence
+    # parallelism (parallel/sequence.py make_seq_constraint)
 ):
     """DiT forward (dit.py:319-370) with text embedding precomputed.
 
@@ -145,21 +150,28 @@ def forward(
         time = jnp.broadcast_to(time, (b,))
     t_emb = L.timestep_embed(params["time_embed"], time, dtype=x.dtype)
     h = input_embedding(params, x, cond, text_emb, drop_audio_cond=drop_audio_cond, mask=mask)
+    if activation_constraint is not None:
+        h = activation_constraint(h)
     rope = jnp.asarray(rotary_freqs(cfg.max_pos, cfg.dim_head)[:n])
 
     residual = h if cfg.long_skip_connection else None
 
-    def block_fn(carry, bp):
-        out = L.dit_block(
-            bp, carry, t_emb, cfg.heads, mask=mask, rope_freqs=rope,
-            pe_attn_head=cfg.pe_attn_head, backend=backend,
-        )
-        return out, None
+    if block_scan is not None:
+        h = block_scan(params["blocks"], h, t_emb, mask, rope)
+    else:
+        def block_fn(carry, bp):
+            out = L.dit_block(
+                bp, carry, t_emb, cfg.heads, mask=mask, rope_freqs=rope,
+                pe_attn_head=cfg.pe_attn_head, backend=backend,
+            )
+            return out, None
 
-    if cfg.checkpoint_activations:
-        block_fn = jax.checkpoint(block_fn)
-    h, _ = jax.lax.scan(block_fn, h, params["blocks"])
+        if cfg.checkpoint_activations:
+            block_fn = jax.checkpoint(block_fn)
+        h, _ = jax.lax.scan(block_fn, h, params["blocks"])
 
+    if activation_constraint is not None:
+        h = activation_constraint(h)
     if residual is not None:
         h = L.linear(params["long_skip"], jnp.concatenate([h, residual], axis=-1))
 
@@ -179,6 +191,8 @@ def forward_with_text(
     drop_audio_cond: bool = False,
     drop_text: bool = False,
     backend: str = "auto",
+    block_scan=None,
+    activation_constraint=None,
 ):
     """Training-path forward matching reference DiT.forward(x, cond, text, time)
     (dit.py:319-370): text encoder runs inline with drop flags."""
@@ -186,7 +200,8 @@ def forward_with_text(
     te = text_embedding(params, cfg, text_ids, seq_len, lens=lens, drop_text=drop_text)
     te = te.astype(x.dtype)
     return forward(
-        params, cfg, x, cond, te, time, mask=mask, drop_audio_cond=drop_audio_cond, backend=backend
+        params, cfg, x, cond, te, time, mask=mask, drop_audio_cond=drop_audio_cond,
+        backend=backend, block_scan=block_scan, activation_constraint=activation_constraint,
     )
 
 
@@ -200,6 +215,7 @@ def forward_cfg(
     time,
     mask=None,
     backend: str = "auto",
+    block_scan=None,
 ):
     """Fused classifier-free-guidance forward: cond+uncond packed as one 2B
     batch (reference cfg_infer, dit.py:337-346).  Returns (pred, null_pred)."""
@@ -211,7 +227,8 @@ def forward_cfg(
         time = jnp.broadcast_to(time, (b,))
     t2 = jnp.concatenate([time, time], axis=0)
     mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
-    out = forward(params, cfg, x2, cond2, te2, t2, mask=mask2, backend=backend)
+    out = forward(params, cfg, x2, cond2, te2, t2, mask=mask2, backend=backend,
+                  block_scan=block_scan)
     return out[:b], out[b:]
 
 

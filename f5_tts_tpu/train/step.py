@@ -98,6 +98,8 @@ def train_step(
     arch_cfg,
     opt_cfg: OptimConfig,
     backend: str = "train_auto",  # Pallas flash fwd+bwd on TPU, SDPA elsewhere
+    block_scan=None,  # pipeline-parallel block schedule (parallel/pipeline.py)
+    activation_constraint=None,  # sequence-parallel sharding pin (parallel/sequence.py)
 ):
     """One optimizer update.  Pure function of its inputs -> jit/pjit over a
     mesh shards it (batch on data axis => gradient all-reduce via XLA)."""
@@ -112,7 +114,8 @@ def train_step(
             mel = batch["mel"]
         return cfm.loss(
             p, arch_cfg, mel, batch["text_ids"], batch["lens"], key, backend=backend,
-            valid=batch.get("valid"),
+            valid=batch.get("valid"), block_scan=block_scan,
+            activation_constraint=activation_constraint,
         )
 
     loss_val, grads = jax.value_and_grad(loss_fn)(params)
