@@ -58,7 +58,7 @@ def main(argv=None):
 
     tts = F5TTS(model=args.expname, ckpt_file=args.ckpt_file,
                 vocoder_local_path=args.vocoder_local_path, nfe_step=args.nfestep,
-                init_random=args.init_random)
+                ode_method=args.odemethod, init_random=args.init_random)
     out_dir = os.path.join(
         args.results_root,
         f"{args.expname}_{args.ckptstep}", args.testset,

@@ -54,7 +54,9 @@ class F5TTS:
         init_random: bool = False,
         model_cfg: dict | None = None,
     ):
-        assert ode_method == "euler", "TPU build ships the fixed-step Euler sampler"
+        assert ode_method in ("euler", "midpoint"), (
+            "fixed-step solvers only (matches reference torchdiffeq usage)"
+        )
         if model_cfg:  # custom-arch dict, flat reference format (infer_gradio.py:1037-1068)
             arch_kw = dict(model_cfg)
             backbone_name = arch_kw.pop("backbone", "DiT")
@@ -137,7 +139,7 @@ class F5TTS:
             model_cfg,
             vocoder_params=voc_params,
             dtype=dtype,
-            options=EngineOptions(nfe_step=nfe_step),
+            options=EngineOptions(nfe_step=nfe_step, ode_method=ode_method),
         )
 
     # surface parity: reference api.py:86-96

@@ -46,6 +46,7 @@ class EngineOptions:
     cfg_strength: float = 2.0
     sway_sampling_coef: float | None = -1.0
     use_epss: bool = True
+    ode_method: str = "euler"  # "euler" | "midpoint" (reference cfm.py:42)
     backend: str = "auto"  # attention backend
     # W8A8 int8 DiT block linears (Pallas kernel, ops/quant.py) — experimental
     # serving option, quality-gate with scripts/quant_ab.py before production
@@ -57,6 +58,7 @@ class EngineOptions:
             cfg_strength=self.cfg_strength,
             sway_sampling_coef=self.sway_sampling_coef,
             use_epss=self.use_epss,
+            ode_method=self.ode_method,
         )
 
 

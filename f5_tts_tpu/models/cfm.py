@@ -61,6 +61,10 @@ class SampleOptions:
     sway_sampling_coef: float | None = -1.0
     use_epss: bool = True
     t_start: float = 0.0
+    # "euler" | "midpoint" — fixed-step solvers matching the reference's
+    # torchdiffeq odeint methods (reference cfm.py:42, 219-222); midpoint does
+    # two model evals per step (explicit midpoint rule on the sway-warped grid)
+    ode_method: str = "euler"
 
 
 def lens_to_mask(lens: jax.Array, length: int) -> jax.Array:
@@ -137,20 +141,28 @@ def sample(
     if getattr(arch_cfg, "backbone", "") == "MMDiT":
         extra["c_mask"] = text_ids != -1
 
-    def ode_step(x, t_dt_k):
-        t_k, dt_k = t_dt_k[0], t_dt_k[1]
+    def velocity(x, t_k):
         time = jnp.broadcast_to(t_k, (b,)).astype(compute_dtype)
         if use_cfg:
             pred, null = bb.forward_cfg(
                 params, arch_cfg, x, step_cond, te_cond, te_uncond, time, mask=mask,
                 backend=backend, **extra
             )
-            v = pred + (pred - null) * opts.cfg_strength
+            return pred + (pred - null) * opts.cfg_strength
+        return bb.forward(
+            params, arch_cfg, x, step_cond, te_cond, time, mask=mask, backend=backend, **extra
+        )
+
+    assert opts.ode_method in ("euler", "midpoint"), opts.ode_method
+
+    def ode_step(x, t_dt_k):
+        t_k, dt_k = t_dt_k[0], t_dt_k[1]
+        dt_c = dt_k.astype(compute_dtype)
+        if opts.ode_method == "midpoint":
+            k1 = velocity(x, t_k)
+            x = x + dt_c * velocity(x + 0.5 * dt_c * k1, t_k + 0.5 * dt_k)
         else:
-            v = bb.forward(
-                params, arch_cfg, x, step_cond, te_cond, time, mask=mask, backend=backend, **extra
-            )
-        x = x + dt_k.astype(compute_dtype) * v
+            x = x + dt_c * velocity(x, t_k)
         return x, (x if return_trajectory else None)
 
     y, traj = jax.lax.scan(ode_step, y0, t_dt)

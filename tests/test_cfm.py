@@ -77,6 +77,39 @@ def test_sample_matches_torch_oracle():
     np.testing.assert_array_equal(got[0, 41:], 0.0)
 
 
+def test_midpoint_second_order():
+    """ode_method="midpoint" (reference cfm.py:42's torchdiffeq alternative)
+    must beat Euler at equal step count against a fine-grid Euler truth —
+    the explicit midpoint rule is 2nd order."""
+    cfg = SMALL
+    params = make_params(cfg)
+    rng = np.random.default_rng(41)
+    b, n, nt = 1, 40, 8
+    cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    lens = np.array([10], dtype=np.int32)
+    cond[0, 10:] = 0.0
+    text = rng.integers(0, cfg.text_num_embeds, (b, nt)).astype(np.int32)
+    duration = np.array([36], dtype=np.int32)
+    noise = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+
+    def run(steps, method):
+        opts = C.SampleOptions(steps=steps, cfg_strength=2.0,
+                               sway_sampling_coef=None, use_epss=False,
+                               ode_method=method)
+        return np.asarray(
+            C.sample(params, cfg, jnp.asarray(cond), jnp.asarray(text),
+                     jnp.asarray(duration), jnp.asarray(noise),
+                     lens=jnp.asarray(lens), opts=opts, backend="sdpa"))
+
+    truth = run(64, "euler")
+    err_euler = np.abs(run(4, "euler") - truth).mean()
+    err_mid = np.abs(run(4, "midpoint") - truth).mean()
+    assert err_mid < err_euler, (err_mid, err_euler)
+    # midpoint@4 (8 evals) should also beat euler@8 (8 evals) on a smooth flow
+    err_euler8 = np.abs(run(8, "euler") - truth).mean()
+    assert err_mid < err_euler8, (err_mid, err_euler8)
+
+
 def test_sample_batch_invariance():
     """Same sample alone or in a batch gives the same result (the property the
     reference engineers via per-sample seeded noise, cfm.py:194-201)."""
