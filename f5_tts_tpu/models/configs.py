@@ -34,6 +34,11 @@ class DiTConfig:
     pe_attn_head: int | None = None
     long_skip_connection: bool = False
     checkpoint_activations: bool = False
+    # rematerialization policy under checkpoint_activations:
+    # "nothing" recomputes everything in backward (min memory);
+    # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable) —
+    # trades HBM for recompute FLOPs, A/B per chip with scripts/bench_train.py
+    remat_policy: str = "nothing"
     backbone: str = "DiT"
     # rope/abs-pos table horizon: 8192 frames ~ 87s @ 24kHz hop 256 (dit.py:47)
     max_pos: int = 8192

@@ -53,6 +53,13 @@ def init(key: jax.Array, cfg: DiTConfig):
     return params
 
 
+def remat_policy(cfg):
+    """jax.checkpoint policy from cfg.remat_policy (None = save nothing)."""
+    if getattr(cfg, "remat_policy", "nothing") == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
+
+
 def _avg_upsample_one(emb, text_len, audio_len, seq_len):
     """ZipVoice-style average upsampling for one sample (dit.py:55-84):
     token j repeats base(+1 for the last `rem` tokens) times over audio_len."""
@@ -167,7 +174,7 @@ def forward(
             return out, None
 
         if cfg.checkpoint_activations:
-            block_fn = jax.checkpoint(block_fn)
+            block_fn = jax.checkpoint(block_fn, policy=remat_policy(cfg))
         h, _ = jax.lax.scan(block_fn, h, params["blocks"])
 
     if activation_constraint is not None:

@@ -81,6 +81,7 @@ def gpipe_block_scan(
     mesh: Mesh,
     n_micro: int,
     checkpoint: bool = False,
+    policy=None,  # jax.checkpoint policy (models/dit.py remat_policy)
 ):
     """Run ``depth`` stacked blocks over ``h`` with the depth axis sharded on
     the mesh's ``pipe`` axis.
@@ -95,7 +96,7 @@ def gpipe_block_scan(
         def f(carry, bp):
             return block_fn(bp, carry, t_emb, mask), None
         if checkpoint:
-            f = jax.checkpoint(f)
+            f = jax.checkpoint(f, policy=policy)
         out, _ = jax.lax.scan(f, h, stacked_blocks)
         return out
 
@@ -115,7 +116,7 @@ def gpipe_block_scan(
         def run_stage(h_in, te, mk):
             def f(carry, bp):
                 return block_fn(bp, carry, te, mk), None
-            g = jax.checkpoint(f) if checkpoint else f
+            g = jax.checkpoint(f, policy=policy) if checkpoint else f
             out, _ = jax.lax.scan(g, h_in, blocks_local)
             return out
 
@@ -166,9 +167,12 @@ def make_dit_block_scan(cfg, mesh: Mesh, n_micro: int, backend: str = "auto"):
                 rope_freqs=rope, pe_attn_head=cfg.pe_attn_head, backend=backend,
             )
 
+        from f5_tts_tpu.models.dit import remat_policy
+
         return gpipe_block_scan(
             block_fn, stacked_blocks, h, t_emb, mask,
             mesh=mesh, n_micro=n_micro, checkpoint=cfg.checkpoint_activations,
+            policy=remat_policy(cfg),
         )
 
     return block_scan

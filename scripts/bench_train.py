@@ -25,7 +25,8 @@ def main():
     from f5_tts_tpu.models.configs import MODEL_CONFIGS
     from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
 
-    arch = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"].arch, checkpoint_activations=True)
+    arch = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"].arch, checkpoint_activations=True,
+                               remat_policy=(sys.argv[4] if len(sys.argv) > 4 else "nothing"))
     b, n, nt = int(sys.argv[1]) if len(sys.argv) > 1 else 8, 1024, 256
     params = dit.init(jax.random.PRNGKey(0), arch)
     opt_cfg = OptimConfig(mixed_precision=len(sys.argv) > 2 and sys.argv[2] == "bf16")
@@ -48,10 +49,14 @@ def main():
     print(f"compile: {time.perf_counter() - t0:.1f}s, loss {float(m['loss']):.4f}", file=sys.stderr)
 
     iters = 10
+    # presplit keys OUTSIDE the timed loop: through the axon tunnel a single
+    # host-driven split costs a 40-80 ms round trip per iteration and pollutes
+    # the measurement (observed 25k vs 37k frames/s for identical graphs)
+    subs = list(jax.random.split(key, iters))
+    jax.block_until_ready(subs[-1])
     t0 = time.perf_counter()
     for i in range(iters):
-        key, sub = jax.random.split(key)
-        params, opt_state, ema, step, m = step_fn(params, opt_state, ema, step, batch, sub)
+        params, opt_state, ema, step, m = step_fn(params, opt_state, ema, step, batch, subs[i])
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     frames_s = b * n / dt
