@@ -28,9 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from f5_tts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-
-PIPE_AXIS = "pipe"
+from f5_tts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS  # noqa: F401
 
 
 def make_pp_mesh(data: int = 1, pipe: int = 2, model: int = 1, devices=None) -> Mesh:

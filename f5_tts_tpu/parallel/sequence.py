@@ -25,9 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from f5_tts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-
-SEQ_AXIS = "seq"
+from f5_tts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS  # noqa: F401
 
 
 def make_sp_mesh(data: int = 1, seq: int = 2, model: int = 1, devices=None) -> Mesh:

@@ -65,13 +65,21 @@ def main(argv=None):
     p.add_argument("--batch_size_per_gpu", type=int, default=None)
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--num_warmup_updates", type=int, default=None)
-    p.add_argument("--tensor_parallel", type=int, default=1)
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Megatron TP degree (mesh 'model' axis)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="pipeline stages over the DiT depth (mesh 'pipe' axis)")
+    p.add_argument("--pipeline_microbatches", type=int, default=0,
+                   help="GPipe microbatches (default 4x pipeline stages)")
+    p.add_argument("--sequence_parallel", type=int, default=1,
+                   help="context-parallel degree over mel frames (mesh 'seq' axis)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state over the data axis (ZeRO-1)")
     p.add_argument("--pretrain", type=str, default=None, help="init weights (pt/safetensors/npz)")
     args = p.parse_args(argv)
 
     from f5_tts_tpu.models.backbones import get_backbone
     from f5_tts_tpu.models.configs import MODEL_CONFIGS, from_yaml_dict, with_vocab_size
-    from f5_tts_tpu.parallel.mesh import make_mesh
     from f5_tts_tpu.text.tokenizer import get_tokenizer
     from f5_tts_tpu.train.dataset import load_dataset
     from f5_tts_tpu.train.step import OptimConfig
@@ -102,7 +110,19 @@ def main(argv=None):
                            data_root=args.data_root)
 
     n_dev = len(jax.devices())
-    mesh = make_mesh(data=n_dev // args.tensor_parallel, model=args.tensor_parallel) if n_dev > 1 else None
+    par = args.tensor_parallel * args.pipeline_parallel * args.sequence_parallel
+    if n_dev > 1:
+        from f5_tts_tpu.parallel.mesh import make_train_mesh
+
+        mesh = make_train_mesh(
+            data=n_dev // par, model=args.tensor_parallel,
+            pipe=args.pipeline_parallel, seq=args.sequence_parallel,
+        )
+    else:
+        mesh = None
+    n_micro = args.pipeline_microbatches or (
+        4 * args.pipeline_parallel if args.pipeline_parallel > 1 else 0
+    )
 
     trainer = Trainer(
         model_cfg,
@@ -118,6 +138,10 @@ def main(argv=None):
         logger=ckpts_cfg.get("logger"),
         mesh=mesh,
         seed=666,
+        zero1=args.zero1,
+        tensor_parallel=args.tensor_parallel > 1,
+        pipeline_microbatches=n_micro,
+        sequence_parallel=args.sequence_parallel > 1,
     )
     backbone = get_backbone(model_cfg.arch)
     if args.pretrain:

@@ -45,6 +45,9 @@ class Trainer:
         seed: int = 666,
         log_samples_fn=None,  # callback(ema_params, update) -> None; called at each save
         zero1: bool = False,  # shard optimizer state over the data axis (ZeRO-1)
+        tensor_parallel: bool = False,  # Megatron-split weights over mesh 'model' axis
+        pipeline_microbatches: int = 0,  # >0 + mesh 'pipe' axis => GPipe block schedule
+        sequence_parallel: bool = False,  # mesh 'seq' axis => frame-axis activation sharding
     ):
         if grad_accumulation_steps > 1 and opt_cfg.grad_accumulation_steps == 1:
             import dataclasses as _dc
@@ -64,6 +67,10 @@ class Trainer:
         self.mesh = mesh
         self.log_samples_fn = log_samples_fn
         self.zero1 = zero1
+        self.tensor_parallel = tensor_parallel
+        mesh_axes = set(mesh.axis_names) if mesh is not None else set()
+        self.pipeline_microbatches = pipeline_microbatches if "pipe" in mesh_axes else 0
+        self.sequence_parallel = sequence_parallel and "seq" in mesh_axes
         os.makedirs(ckpt_dir, exist_ok=True)
         self.log_file = log_file or os.path.join(ckpt_dir, "train_log.jsonl")
         self.wandb = None
@@ -75,9 +82,22 @@ class Trainer:
             except ImportError:
                 pass
 
+        block_scan = None
+        if self.pipeline_microbatches:
+            from f5_tts_tpu.parallel.pipeline import make_dit_block_scan
+
+            block_scan = make_dit_block_scan(
+                model_cfg.arch, mesh, self.pipeline_microbatches, backend="train_auto"
+            )
+        activation_constraint = None
+        if self.sequence_parallel:
+            from f5_tts_tpu.parallel.sequence import make_seq_constraint
+
+            activation_constraint = make_seq_constraint(mesh)
         self._step_fn = jax.jit(
             functools.partial(
-                train_step, arch_cfg=model_cfg.arch, opt_cfg=opt_cfg, backend="train_auto"
+                train_step, arch_cfg=model_cfg.arch, opt_cfg=opt_cfg, backend="train_auto",
+                block_scan=block_scan, activation_constraint=activation_constraint,
             ),
             donate_argnums=(0, 1, 2, 3),
         )
@@ -148,6 +168,22 @@ class Trainer:
     # ---------------------------------------------------------------- train
     def train(self, params, dataset, epochs: int = 1, resume: bool = True, progress=None):
         """Runs the loop; returns (params, ema_params, update)."""
+        if self.mesh is not None and (self.tensor_parallel or self.pipeline_microbatches):
+            from f5_tts_tpu.parallel.mesh import backbone_param_specs, shard_params
+
+            if self.tensor_parallel:
+                specs = backbone_param_specs(params)
+            else:
+                from jax.sharding import PartitionSpec as _P
+
+                specs = jax.tree.map(lambda _: _P(), params)
+            if self.pipeline_microbatches:
+                from f5_tts_tpu.parallel.pipeline import pp_param_specs
+
+                specs = pp_param_specs(
+                    specs, self.model_cfg.arch.depth, self.mesh.shape["pipe"]
+                )
+            params = shard_params(params, self.mesh, specs)
         opt_state, ema_params, step = init_train_state(params, self.opt_cfg)
         state = {"params": params, "opt_state": opt_state, "ema": ema_params, "step": step}
         start_update = 0

@@ -148,6 +148,43 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     assert (ckpt_dir / "model_last").is_dir()
 
 
+def test_train_cli_parallel_flags(tmp_path):
+    """f5-tts_train with --tensor_parallel/--pipeline_parallel/--zero1 builds
+    the multi-axis mesh (8 virtual CPU devices) and trains a step."""
+    import json
+
+    from f5_tts_tpu.train import cli as train_cli
+    from f5_tts_tpu.train.datasets.prepare_csv_wavs import prepare
+
+    sr = 24000
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    lines = ["audio_file|text"]
+    for i in range(4):
+        path = str(wav_dir / f"a{i}.wav")
+        save_wav(path, 0.1 * np.sin(np.arange(sr) / (30.0 + i)), sr)
+        lines.append(f"{path}|short sample {i}")
+    csv_path = tmp_path / "meta.csv"
+    csv_path.write_text("\n".join(lines) + "\n")
+    data_dir = tmp_path / "data" / "tiny_char"
+    prepare(str(csv_path), str(data_dir), pretrain=False, pinyin=False)
+
+    ckpt_dir = tmp_path / "ckpts_pp"
+    train_cli.main([
+        "--model", "F5TTS_Tiny", "--dataset_name", "tiny",
+        "--data_root", str(tmp_path / "data"),
+        "--ckpt_dir", str(ckpt_dir), "--epochs", "1",
+        "--batch_size_per_gpu", "400", "--max_samples", "2",
+        "--num_warmup_updates", "2",
+        "--tensor_parallel", "2", "--pipeline_parallel", "2",
+        "--pipeline_microbatches", "2", "--zero1",
+    ])
+    log = ckpt_dir / "train_log.jsonl"
+    assert log.is_file()
+    rec = json.loads(log.read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["loss"])
+
+
 def test_package_level_exports():
     import f5_tts_tpu
 

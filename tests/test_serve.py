@@ -163,6 +163,48 @@ def test_tensor_parallel_inference_matches_replicated():
     np.testing.assert_allclose(got, want, atol=5e-5)
 
 
+def test_tensor_parallel_unett_and_mmdit_match_replicated():
+    """backbone_param_specs generalizes TP beyond DiT: UNetT (scan-stacked
+    'first'/'second' halves) and MMDiT (dual-stream *_c projections, ff_x/ff_c)
+    sharded over the model axis must match unsharded numerics."""
+    import jax.numpy as jnp
+
+    from f5_tts_tpu.models import mmdit as M
+    from f5_tts_tpu.models import unett as U
+    from f5_tts_tpu.models.configs import MMDiTConfig, UNetTConfig
+    from f5_tts_tpu.parallel.mesh import backbone_param_specs, make_mesh, shard_params
+
+    rng = np.random.default_rng(3)
+    b, n = 2, 32
+    mesh = make_mesh(data=1, model=4)
+
+    ucfg = UNetTConfig(dim=64, depth=4, heads=4, dim_head=16, ff_mult=2, mel_dim=10,
+                       text_num_embeds=40, text_dim=24, max_pos=128)
+    uparams = U.init(jax.random.PRNGKey(0), ucfg)
+    x = jnp.asarray(rng.standard_normal((b, n, ucfg.mel_dim)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((b, n, ucfg.mel_dim)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, 40, (b, 8)).astype(np.int32))
+    time_ = jnp.asarray(np.array([0.3, 0.8], np.float32))
+    want = np.asarray(U.forward_with_text(uparams, ucfg, x, cond, text, time_, backend="sdpa"))
+    usharded = shard_params(uparams, mesh, backbone_param_specs(uparams))
+    with mesh:
+        got = np.asarray(jax.jit(
+            lambda p: U.forward_with_text(p, ucfg, x, cond, text, time_, backend="sdpa"))(usharded))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+    mcfg = MMDiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=10,
+                       text_num_embeds=40)
+    mparams = M.init(jax.random.PRNGKey(0), mcfg)
+    xm = jnp.asarray(rng.standard_normal((b, n, mcfg.mel_dim)).astype(np.float32))
+    cm = jnp.asarray(rng.standard_normal((b, n, mcfg.mel_dim)).astype(np.float32))
+    want_m = np.asarray(M.forward_with_text(mparams, mcfg, xm, cm, text, time_, backend="sdpa"))
+    msharded = shard_params(mparams, mesh, backbone_param_specs(mparams))
+    with mesh:
+        got_m = np.asarray(jax.jit(
+            lambda p: M.forward_with_text(p, mcfg, xm, cm, text, time_, backend="sdpa"))(msharded))
+    np.testing.assert_allclose(got_m, want_m, atol=5e-5)
+
+
 def test_batch_server_tensor_parallel_matches_replicated():
     """dp x tp BatchServer (Megatron weight sharding) vs plain server."""
     from f5_tts_tpu.models import vocos as V2

@@ -110,6 +110,57 @@ def test_trainer_loop_with_mesh(tmp_path):
     assert upd >= 1
 
 
+def test_trainer_loop_dp_pp_tp(tmp_path):
+    """Trainer with tensor_parallel + pipeline_microbatches on a 2x2x2
+    (data x pipe x model) mesh: weights Megatron+depth sharded, GPipe block
+    schedule — loss must match the plain single-device Trainer's first loss."""
+    import json as _json
+
+    from f5_tts_tpu.parallel.mesh import make_train_mesh
+
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16), tokenizer="byte")
+    ds = make_dataset(8)
+    params = D.init(jax.random.PRNGKey(0), arch)
+
+    base = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=20),
+                   ckpt_dir=str(tmp_path / "ck0"), batch_size_per_device=400, max_samples=4,
+                   save_per_updates=1000, last_per_updates=1000, seed=0)
+    base.train(params, ds, epochs=1, resume=False)
+    loss0 = _json.loads(open(base.log_file).read().strip().splitlines()[0])["loss"]
+
+    params = D.init(jax.random.PRNGKey(0), arch)  # re-init: step_fn donates its inputs
+    mesh = make_train_mesh(data=2, model=2, pipe=2)
+    trainer = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=20),
+                      ckpt_dir=str(tmp_path / "ck3"), batch_size_per_device=400, max_samples=4,
+                      save_per_updates=1000, last_per_updates=1000, seed=0, mesh=mesh,
+                      tensor_parallel=True, pipeline_microbatches=2)
+    assert trainer.pipeline_microbatches == 2
+    p, ema, upd = trainer.train(params, ds, epochs=1, resume=False)
+    assert upd >= 1
+    loss3 = _json.loads(open(trainer.log_file).read().strip().splitlines()[0])["loss"]
+    np.testing.assert_allclose(loss3, loss0, rtol=2e-4)
+
+
+def test_trainer_loop_sequence_parallel(tmp_path):
+    from f5_tts_tpu.parallel.mesh import make_train_mesh
+
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16), tokenizer="byte")
+    ds = make_dataset(8)
+    mesh = make_train_mesh(data=2, model=1, seq=4)
+    trainer = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=20),
+                      ckpt_dir=str(tmp_path / "cks"), batch_size_per_device=400, max_samples=4,
+                      save_per_updates=1000, last_per_updates=1000, seed=0, mesh=mesh,
+                      sequence_parallel=True)
+    assert trainer.sequence_parallel
+    params = D.init(jax.random.PRNGKey(0), arch)
+    p, ema, upd = trainer.train(params, ds, epochs=1, resume=False)
+    assert upd >= 1
+
+
 def test_prepare_csv_wavs_roundtrip(tmp_path):
     from f5_tts_tpu.audio.io import save_wav
     from f5_tts_tpu.train.datasets.prepare_csv_wavs import prepare
