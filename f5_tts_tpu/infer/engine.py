@@ -72,7 +72,8 @@ def _clamp_duration(duration, text_ids, lens, n):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model_cfg", "opts", "decode", "vocoder_type", "vocoder_cfg")
+    jax.jit,
+    static_argnames=("model_cfg", "opts", "decode", "vocoder_type", "vocoder_cfg", "hooks"),
 )
 def _sample_and_decode(
     dit_params,
@@ -87,6 +88,9 @@ def _sample_and_decode(
     decode: bool = True,
     vocoder_type: str = "vocos",
     vocoder_cfg=None,  # VocosConfig | BigVGANConfig | None (defaults)
+    hooks=(None, None),  # (block_scan, activation_constraint) — pipeline /
+    # sequence-parallel serving (parallel/{pipeline,sequence}.py); static
+    # closures, hashed by identity into the graph cache key
 ):
     b, n, d = cond.shape
 
@@ -104,6 +108,8 @@ def _sample_and_decode(
         lens=lens,
         opts=opts.sample_opts(),
         backend=opts.backend,
+        block_scan=hooks[0],
+        activation_constraint=hooks[1],
     )
     if not decode or voc_params is None:
         return mel_out, None
@@ -138,7 +144,8 @@ def _ref_mel(wav_padded, mel_cfg: MelConfig):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model_cfg", "opts", "decode", "vocoder_type", "vocoder_cfg", "n")
+    jax.jit,
+    static_argnames=("model_cfg", "opts", "decode", "vocoder_type", "vocoder_cfg", "n", "hooks"),
 )
 def _sample_and_decode_from_wav(
     dit_params,
@@ -155,6 +162,7 @@ def _sample_and_decode_from_wav(
     decode: bool = True,
     vocoder_type: str = "vocos",
     vocoder_cfg=None,
+    hooks=(None, None),
 ):
     """Fully fused path: ref-audio mel extraction + CFM sampling + vocoder in
     ONE graph call — one host<->device round trip per utterance batch (the
@@ -173,7 +181,7 @@ def _sample_and_decode_from_wav(
     return _sample_and_decode(
         dit_params, voc_params, model_cfg, opts, cond.astype(compute_dtype),
         text_ids, lens, duration, seeds, decode=decode, vocoder_type=vocoder_type,
-        vocoder_cfg=vocoder_cfg,
+        vocoder_cfg=vocoder_cfg, hooks=hooks,
     )
 
 
@@ -211,6 +219,10 @@ class InferenceEngine:
         self.vocoder_type = vocoder_type or model_cfg.mel.mel_spec_type
         self.vocoder_cfg = vocoder_cfg  # None -> backend defaults
         self.hop = model_cfg.mel.hop_length
+        # (block_scan, activation_constraint) for multi-chip serving — set by
+        # BatchServer (sequence/pipeline parallel); must stay a stable tuple of
+        # callables (it keys the jit cache)
+        self.parallel_hooks = (None, None)
 
 
     def _trim_wavs(self, wav, duration, lens):
@@ -279,6 +291,7 @@ class InferenceEngine:
             decode=decode and self.vocoder_params is not None,
             vocoder_type=self.vocoder_type,
             vocoder_cfg=self.vocoder_cfg,
+            hooks=self.parallel_hooks,
         )
         mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
         wavs, gen_frames = self._trim_wavs(wav, duration, lens)
@@ -332,6 +345,7 @@ class InferenceEngine:
             decode=decode and self.vocoder_params is not None,
             vocoder_type=self.vocoder_type,
             vocoder_cfg=self.vocoder_cfg,
+            hooks=self.parallel_hooks,
         )
         mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
         wavs, gen_frames = self._trim_wavs(wav, duration, lens)
@@ -389,6 +403,7 @@ class InferenceEngine:
             decode=decode and self.vocoder_params is not None,
             vocoder_type=self.vocoder_type,
             vocoder_cfg=self.vocoder_cfg,
+            hooks=self.parallel_hooks,
         )
         mel_np = np.asarray(mel_out, dtype=np.float32) if fetch_mel else None
         wavs, gen_frames = self._trim_wavs(wav, duration, lens)

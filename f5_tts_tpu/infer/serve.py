@@ -39,11 +39,24 @@ class BatchServer:
     """
 
     def __init__(self, engine: InferenceEngine, mesh=None, batch_size: int = 8,
-                 tensor_parallel: bool = False):
+                 tensor_parallel: bool = False, sequence_parallel: bool = False):
         self.engine = engine
         self.mesh = mesh
         self.batch_size = batch_size
         if mesh is not None:
+            if sequence_parallel and "seq" in mesh.axis_names:
+                # context-parallel serving: shard the mel-frame axis across
+                # the 'seq' mesh axis (long-form buckets' O(n^2) attention
+                # memory divides across chips; parallel/sequence.py)
+                import dataclasses as _dc
+
+                from f5_tts_tpu.parallel.sequence import make_seq_constraint
+
+                self.engine.parallel_hooks = (None, make_seq_constraint(mesh))
+                if self.engine.options.backend != "sdpa":
+                    # the Pallas flash kernel is opaque to GSPMD's sequence
+                    # partitioning; XLA SDPA shards the [n, n] contraction
+                    self.engine.options = _dc.replace(self.engine.options, backend="sdpa")
             dp = mesh.shape[DATA_AXIS]
             assert batch_size % dp == 0, f"batch {batch_size} must divide over data axis {dp}"
             from jax.sharding import NamedSharding, PartitionSpec as P

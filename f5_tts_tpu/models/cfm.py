@@ -85,6 +85,8 @@ def sample(
     duplicate_test: bool = False,  # debug: blend a shifted copy of cond into y0
     return_trajectory: bool = False,
     backend: str = "auto",
+    block_scan=None,  # pipeline-parallel block schedule (parallel/pipeline.py)
+    activation_constraint=None,  # sequence-parallel sharding pin (parallel/sequence.py)
 ):
     """CFM.sample (cfm.py:83-229) — returns generated mel [b, n, d] (frames
     beyond ``duration`` zeroed; the ref region is overwritten with ``cond``).
@@ -140,6 +142,10 @@ def sample(
     extra = {}
     if getattr(arch_cfg, "backbone", "") == "MMDiT":
         extra["c_mask"] = text_ids != -1
+    if block_scan is not None:
+        extra["block_scan"] = block_scan
+    if activation_constraint is not None:
+        extra["activation_constraint"] = activation_constraint
 
     def velocity(x, t_k):
         time = jnp.broadcast_to(t_k, (b,)).astype(compute_dtype)

@@ -223,6 +223,7 @@ def forward_cfg(
     mask=None,
     backend: str = "auto",
     block_scan=None,
+    activation_constraint=None,
 ):
     """Fused classifier-free-guidance forward: cond+uncond packed as one 2B
     batch (reference cfg_infer, dit.py:337-346).  Returns (pred, null_pred)."""
@@ -235,7 +236,7 @@ def forward_cfg(
     t2 = jnp.concatenate([time, time], axis=0)
     mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
     out = forward(params, cfg, x2, cond2, te2, t2, mask=mask2, backend=backend,
-                  block_scan=block_scan)
+                  block_scan=block_scan, activation_constraint=activation_constraint)
     return out[:b], out[b:]
 
 

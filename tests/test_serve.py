@@ -163,6 +163,29 @@ def test_tensor_parallel_inference_matches_replicated():
     np.testing.assert_allclose(got, want, atol=5e-5)
 
 
+def test_batch_server_sequence_parallel_matches_plain():
+    """Context-parallel serving (frame axis sharded over the 'seq' mesh axis)
+    must reproduce the plain server's waveforms."""
+    from f5_tts_tpu.models import vocos as V2
+    from f5_tts_tpu.parallel.mesh import make_train_mesh
+    from tests.test_pipeline import tiny_model as _tiny
+
+    cfg, params, _, _ = _tiny()
+    voc = V2.init(jax.random.PRNGKey(1), V2.VocosConfig())
+    reqs = _requests(4)
+
+    eng_plain = InferenceEngine(params, cfg, vocoder_params=voc, options=EngineOptions(nfe_step=2))
+    wav_plain, _ = BatchServer(eng_plain, mesh=None, batch_size=2).run(reqs, overlap=1)
+
+    mesh = make_train_mesh(data=2, model=1, seq=4)
+    eng_sp = InferenceEngine(params, cfg, vocoder_params=voc, options=EngineOptions(nfe_step=2))
+    srv = BatchServer(eng_sp, mesh=mesh, batch_size=2, sequence_parallel=True)
+    assert eng_sp.parallel_hooks[1] is not None
+    wav_sp, _ = srv.run(reqs, overlap=1)
+    for a, b in zip(wav_plain, wav_sp):
+        np.testing.assert_allclose(a, b, atol=3e-4)
+
+
 def test_tensor_parallel_unett_and_mmdit_match_replicated():
     """backbone_param_specs generalizes TP beyond DiT: UNetT (scan-stacked
     'first'/'second' halves) and MMDiT (dual-stream *_c projections, ff_x/ff_c)
