@@ -52,11 +52,17 @@ class BatchServer:
 
                 from f5_tts_tpu.parallel.sequence import make_seq_constraint
 
+                from f5_tts_tpu.parallel.ring import make_ring_attention
+
                 self.engine.parallel_hooks = (None, make_seq_constraint(mesh))
-                if self.engine.options.backend != "sdpa":
-                    # the Pallas flash kernel is opaque to GSPMD's sequence
-                    # partitioning; XLA SDPA shards the [n, n] contraction
-                    self.engine.options = _dc.replace(self.engine.options, backend="sdpa")
+                # ring attention keeps each frame shard's KV resident and
+                # rotates chunks over ICI (parallel/ring.py) — replaces the
+                # earlier GSPMD-SDPA fallback that all-gathered full KV;
+                # 'auto' uses the Pallas flash block primitive on TPU
+                self.engine.options = _dc.replace(
+                    self.engine.options,
+                    backend=make_ring_attention(mesh, block_impl="auto"),
+                )
             dp = mesh.shape[DATA_AXIS]
             assert batch_size % dp == 0, f"batch {batch_size} must divide over data axis {dp}"
             from jax.sharding import NamedSharding, PartitionSpec as P

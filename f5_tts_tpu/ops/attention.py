@@ -83,8 +83,12 @@ def chunked_attention(
 def attention(q, k, v, mask=None, backend: str = "auto"):
     """Dispatch between XLA SDPA and the Pallas flash kernel.
 
-    backend: "auto" (flash on TPU when shapes allow, else SDPA), "sdpa", "flash".
+    backend: "auto" (flash on TPU when shapes allow, else SDPA), "sdpa",
+    "flash" — or a callable ``(q, k, v, mask) -> o`` for mesh-aware backends
+    (e.g. parallel/ring.py make_ring_attention's sequence-parallel ring).
     """
+    if callable(backend):
+        return backend(q, k, v, mask)
     if backend == "sdpa":
         return sdpa(q, k, v, mask)
     if backend == "chunked":

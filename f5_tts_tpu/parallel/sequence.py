@@ -11,9 +11,10 @@ is mathematically required.
 
 This is the long-context axis: a 4096-frame bucket's attention scores are
 4096^2 * heads * batch; sequence-sharding divides both that memory and the QK/
-AV FLOPs per chip. Use the SDPA backend under sp — the Pallas flash kernel is
-opaque to GSPMD's sequence partitioning (a ring-attention Pallas variant is
-the future upgrade path; jax-ml.github.io/scaling-book, "context parallelism").
+AV FLOPs per chip. For attention itself use ``parallel/ring.py``'s ring
+backend (KV chunks rotate over ICI with ppermute; flash block primitive on
+TPU) — the plain SDPA backend also works under sp but GSPMD then all-gathers
+full KV around the [n, n] contraction.
 
 The reference has no sequence-parallel counterpart (its TRT engines are
 single-GPU per replica); capability beyond the reference.

@@ -90,13 +90,19 @@ class Trainer:
                 model_cfg.arch, mesh, self.pipeline_microbatches, backend="train_auto"
             )
         activation_constraint = None
+        step_backend = "train_auto"
         if self.sequence_parallel:
+            from f5_tts_tpu.parallel.ring import make_ring_attention
             from f5_tts_tpu.parallel.sequence import make_seq_constraint
 
             activation_constraint = make_seq_constraint(mesh)
+            # differentiable ring attention over the seq axis (parallel/ring.py):
+            # KV chunks rotate over ICI instead of GSPMD all-gathering full KV
+            # around an opaque flash kernel
+            step_backend = make_ring_attention(mesh, block_impl="xla")
         self._step_fn = jax.jit(
             functools.partial(
-                train_step, arch_cfg=model_cfg.arch, opt_cfg=opt_cfg, backend="train_auto",
+                train_step, arch_cfg=model_cfg.arch, opt_cfg=opt_cfg, backend=step_backend,
                 block_scan=block_scan, activation_constraint=activation_constraint,
             ),
             donate_argnums=(0, 1, 2, 3),

@@ -1,0 +1,190 @@
+"""Ring attention (parallel/ring.py): sequence-parallel attention whose
+oracle is plain SDPA — rotating KV shards with ppermute and merging block
+softmax partials must reproduce the unsharded numerics (forward AND
+backward), and must compose with the DiT forward / train step.
+
+No reference counterpart (the TRT ``cp_size`` flag is dead plumbing,
+SURVEY.md §2.7); this is the long-context scaling axis beyond the reference.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from f5_tts_tpu.models import dit
+from f5_tts_tpu.models.configs import DiTConfig
+from f5_tts_tpu.ops.attention import attention, sdpa
+from f5_tts_tpu.parallel import sequence as sp
+from f5_tts_tpu.parallel.mesh import DATA_AXIS, dit_param_specs, shard_params
+from f5_tts_tpu.parallel.ring import make_ring_attention
+
+
+def make_qkv(b=2, h=4, n=256, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32) for _ in range(3))
+    lens = jnp.asarray(rng.integers(n // 2, n + 1, (b,)), jnp.int32)
+    mask = jnp.arange(n)[None, :] < lens[:, None]
+    return q, k, v, mask
+
+
+def test_ring_vs_sdpa_parity():
+    q, k, v, mask = make_qkv()
+    mesh = sp.make_sp_mesh(data=1, seq=4, model=1)
+    ring = make_ring_attention(mesh)
+    ref = sdpa(q, k, v, mask)
+    got = jax.jit(lambda *a: ring(*a, mask))(q, k, v)
+    # padding-query rows are undefined in both impls; compare valid rows only
+    keep = np.asarray(mask)[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * keep, np.asarray(ref) * keep, atol=2e-5, rtol=1e-4
+    )
+
+
+def test_ring_no_mask():
+    q, k, v, _ = make_qkv(b=1, h=2, n=128, d=16, seed=1)
+    mesh = sp.make_sp_mesh(data=1, seq=2, model=1)
+    ring = make_ring_attention(mesh)
+    ref = sdpa(q, k, v, None)
+    got = jax.jit(lambda *a: ring(*a, None))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_ring_backward_parity():
+    """Autodiff through the ring (ppermute transpose) matches SDPA grads."""
+    q, k, v, mask = make_qkv(b=2, h=2, n=64, d=16, seed=2)
+    mesh = sp.make_sp_mesh(data=1, seq=4, model=1)
+    ring = make_ring_attention(mesh)
+    w = jnp.asarray(
+        np.random.default_rng(3).standard_normal(sdpa(q, k, v, mask).shape), jnp.float32
+    ) * mask[:, None, :, None]  # zero cotangent on padding-query rows
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v, mask) * w)
+
+    g_ref = jax.grad(functools.partial(loss, sdpa), argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.jit(jax.grad(functools.partial(loss, ring), argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
+
+
+def test_attention_dispatch_callable():
+    q, k, v, mask = make_qkv(b=1, h=2, n=64, d=16, seed=4)
+    mesh = sp.make_sp_mesh(data=1, seq=2, model=1)
+    ring = make_ring_attention(mesh)
+    got = attention(q, k, v, mask=mask, backend=ring)
+    ref = attention(q, k, v, mask=mask, backend="sdpa")
+    keep = np.asarray(mask)[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * keep, np.asarray(ref) * keep, atol=2e-5, rtol=1e-4
+    )
+
+
+CFG = DiTConfig(
+    dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=8,
+    text_num_embeds=40, text_dim=24, conv_layers=1, max_pos=128,
+)
+
+
+def test_dit_forward_ring_parity():
+    """DiT forward with the ring backend + seq activation constraint matches
+    the replicated SDPA forward."""
+    rng = np.random.default_rng(0)
+    b, n, nt = 4, 32, 8
+    params = dit.init(jax.random.PRNGKey(0), CFG)
+    x = jnp.asarray(rng.standard_normal((b, n, CFG.mel_dim)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, n, CFG.mel_dim)), jnp.float32)
+    text_ids = jnp.asarray(rng.integers(0, CFG.text_num_embeds, (b, nt)), jnp.int32)
+    time = jnp.asarray(rng.uniform(0.1, 0.9, (b,)), jnp.float32)
+    lens = jnp.asarray(rng.integers(n // 2, n + 1, (b,)), jnp.int32)
+    mask = jnp.arange(n)[None, :] < lens[:, None]
+    te = dit.text_embedding(params, CFG, text_ids, n, lens=lens)
+
+    ref = jax.jit(functools.partial(dit.forward, cfg=CFG, mask=mask, backend="sdpa"))(
+        params, x=x, cond=cond, text_emb=te, time=time)
+
+    mesh = sp.make_sp_mesh(data=2, seq=2, model=1)
+    sharded = shard_params(params, mesh, dit_param_specs(params))
+    ring = make_ring_attention(mesh)
+    in_sh = NamedSharding(mesh, P(DATA_AXIS, sp.SEQ_AXIS, None))
+    xs = jax.device_put(x, in_sh)
+    got = jax.jit(functools.partial(
+        dit.forward, cfg=CFG, mask=mask, backend=ring,
+        activation_constraint=sp.make_seq_constraint(mesh),
+    ))(sharded, x=xs, cond=cond, text_emb=te, time=time)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_train_step_with_ring():
+    """Full train step (loss + grads + optimizer) under dp x sp with the ring
+    backend reproduces the unsharded loss."""
+    from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
+
+    params = dit.init(jax.random.PRNGKey(1), CFG)
+    opt_cfg = OptimConfig(num_warmup_updates=2, total_updates=10)
+    b, n, nt = 4, 32, 8
+    rng = np.random.default_rng(5)
+    batch_np = {
+        "mel": rng.standard_normal((b, n, CFG.mel_dim)).astype(np.float32),
+        "text_ids": rng.integers(0, CFG.text_num_embeds, (b, nt)).astype(np.int32),
+        "lens": np.full((b,), n, np.int32),
+    }
+    key = jax.random.PRNGKey(2)
+
+    opt_state, ema, step = init_train_state(params, opt_cfg)
+    base_fn = jax.jit(functools.partial(
+        train_step, arch_cfg=CFG, opt_cfg=opt_cfg, backend="sdpa"))
+    *_, m1 = base_fn(params, opt_state, ema, step,
+                     {k: jnp.asarray(v) for k, v in batch_np.items()}, key)
+
+    mesh = sp.make_sp_mesh(data=2, seq=2, model=1)
+    sharded = shard_params(params, mesh, dit_param_specs(params))
+    opt_state, ema, step = init_train_state(sharded, opt_cfg)
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+    batch = {k: jax.device_put(v, bsh) for k, v in batch_np.items()}
+    ring_fn = jax.jit(functools.partial(
+        train_step, arch_cfg=CFG, opt_cfg=opt_cfg,
+        backend=make_ring_attention(mesh),
+        activation_constraint=sp.make_seq_constraint(mesh)))
+    *_, m2 = ring_fn(sharded, opt_state, ema, step, batch, key)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=2e-5)
+
+
+def _sdpa_stats_oracle(q, k, v, lens, block_q, block_k):
+    """CPU oracle for ops.flash_attention._flash_fwd_stats: returns the
+    normalized block output and per-row logsumexp with the kernel's exact
+    NEG_BIG masking semantics (so the ring's log-space merge is exercised on
+    CPU, where the Pallas kernel can't run)."""
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+    scale = d**-0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    col = jnp.arange(nk)
+    s = jnp.where((col[None, :] < lens[:, None])[:, None, None, :], s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", (p / jnp.maximum(l, 1e-30)).astype(v.dtype), v)
+    L = (m + jnp.log(jnp.maximum(l, 1e-30)))[..., 0].reshape(b * h, 1, n)
+    return out, L
+
+
+def test_ring_flash_block_merge(monkeypatch):
+    """The flash-block path's log-space merge (parallel/ring.py
+    _block_flash_merge) matches SDPA — stats come from a CPU oracle standing
+    in for the Pallas forward-with-stats kernel (1-chip env: the real kernel
+    needs a multi-device TPU mesh to reach this path)."""
+    from f5_tts_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_flash_fwd_stats", _sdpa_stats_oracle)
+    q, k, v, mask = make_qkv(b=2, h=2, n=256, d=32, seed=7)
+    mesh = sp.make_sp_mesh(data=1, seq=4, model=1)
+    ring = make_ring_attention(mesh, block_impl="flash")
+    ref = sdpa(q, k, v, mask)
+    got = ring(q, k, v, mask)
+    keep = np.asarray(mask)[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * keep, np.asarray(ref) * keep, atol=2e-5, rtol=1e-4
+    )
