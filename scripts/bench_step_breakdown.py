@@ -1,0 +1,109 @@
+"""Device-only microbenchmarks for the serving hot path.
+
+Times are measured the tunnel-safe way (DEVELOPMENT.md): the op under test is
+repeated inside ONE jitted ``lax.scan`` whose carry feeds the next iteration
+(defeats loop-invariant hoisting / remote caching), so the wall clock spans a
+single multi-second device-only graph.
+
+    python scripts/bench_step_breakdown.py step        # full DiT NFE step
+    python scripts/bench_step_breakdown.py attn        # flash block sweep
+    python scripts/bench_step_breakdown.py attn_sdpa   # XLA SDPA baseline
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+
+def timed_loop(make_step, x0, iters: int, *consts) -> float:
+    """Build scan(step) over `iters`, run twice (compile + measure), return
+    seconds per iteration.  ``consts`` are passed as jit ARGUMENTS — closing
+    over large pytrees bakes them into the HLO as constants and blows the
+    axon remote-compile payload limit (DEVELOPMENT.md)."""
+
+    @jax.jit
+    def loop(x, *cs):
+        def body(c, _):
+            y = make_step(c, *cs)
+            return x + y * 1e-6, ()
+
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(out.astype(jnp.float32))
+
+    loop(x0, *consts).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    loop(x0, *consts).block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_step(iters=300):
+    from f5_tts_tpu.models import dit
+    from f5_tts_tpu.models.configs import MODEL_CONFIGS
+
+    cfg = MODEL_CONFIGS["F5TTS_v1_Base"].arch
+    b, n = 2, 1024  # fused-CFG pair, serving bucket
+    params = dit.fuse_for_inference(dit.init(jax.random.PRNGKey(0), cfg))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)), jnp.bfloat16)
+    te = jnp.asarray(rng.standard_normal((b, n, cfg.text_dim)), jnp.bfloat16)
+    time_t = jnp.asarray([0.4, 0.4], jnp.bfloat16)
+    x0 = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)), jnp.bfloat16)
+    mask = jnp.arange(n)[None, :] < jnp.asarray([n, n - 200])[:, None]
+
+    def step(x, p):
+        return dit.forward(p, cfg, x, cond, te, time_t, mask=mask, backend="flash")
+
+    per = timed_loop(step, x0, iters, params)
+    print(f"dit_step: {per * 1e3:.3f} ms/step  ({iters} iters)")
+
+
+def bench_attn(block_pairs=((256, 512), (256, 1024), (512, 1024), (512, 512), (256, 256), (128, 512))):
+    from f5_tts_tpu.ops.flash_attention import _flash
+
+    b, h, n, dh = 2, 16, 1024, 64
+    rng = np.random.default_rng(0)
+    q0, k, v = (jnp.asarray(rng.standard_normal((b, h, n, dh)), jnp.bfloat16) for _ in range(3))
+    lens = jnp.asarray([n, n - 200], jnp.int32)
+    for bq, bk in block_pairs:
+        def step(x, bq=bq, bk=bk):
+            return _flash(x, k, v, lens, bq, bk)
+
+        per = timed_loop(step, q0, 5000)
+        print(f"flash bq={bq} bk={bk}: {per * 1e6:.1f} us/call")
+
+
+def bench_attn_sdpa():
+    from f5_tts_tpu.ops.attention import sdpa
+
+    b, h, n, dh = 2, 16, 1024, 64
+    rng = np.random.default_rng(0)
+    q0, k, v = (jnp.asarray(rng.standard_normal((b, h, n, dh)), jnp.bfloat16) for _ in range(3))
+    lens = jnp.asarray([n, n - 200], jnp.int32)
+    mask = jnp.arange(n)[None, :] < lens[:, None]
+
+    def step(x):
+        return sdpa(x, k, v, mask)
+
+    per = timed_loop(step, q0, 2000)
+    print(f"sdpa: {per * 1e6:.1f} us/call")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "step"
+    print(f"devices: {jax.devices()}")
+    if which == "step":
+        bench_step()
+    elif which == "attn":
+        bench_attn()
+    elif which == "attn_sdpa":
+        bench_attn_sdpa()
+    else:
+        raise SystemExit(f"unknown bench {which}")
