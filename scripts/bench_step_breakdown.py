@@ -96,6 +96,73 @@ def bench_attn_sdpa():
     print(f"sdpa: {per * 1e6:.1f} us/call")
 
 
+def profile_step(iters=30, outdir="/tmp/jaxtrace"):
+    """Trace `iters` DiT steps and print the per-HLO time table (top 25)."""
+    import glob
+    import gzip
+    import shutil
+
+    from f5_tts_tpu.models import dit
+    from f5_tts_tpu.models.configs import MODEL_CONFIGS
+
+    cfg = MODEL_CONFIGS["F5TTS_v1_Base"].arch
+    b, n = 2, 1024
+    params = dit.fuse_for_inference(dit.init(jax.random.PRNGKey(0), cfg))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)), jnp.bfloat16)
+    te = jnp.asarray(rng.standard_normal((b, n, cfg.text_dim)), jnp.bfloat16)
+    time_t = jnp.asarray([0.4, 0.4], jnp.bfloat16)
+    x0 = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)), jnp.bfloat16)
+    mask = jnp.arange(n)[None, :] < jnp.asarray([n, n - 200])[:, None]
+
+    @jax.jit
+    def loop(x, p):
+        def body(c, _):
+            y = dit.forward(p, cfg, c, cond, te, time_t, mask=mask, backend="flash")
+            return x + y * 1e-6, ()
+
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(out.astype(jnp.float32))
+
+    loop(x0, params).block_until_ready()  # compile
+    shutil.rmtree(outdir, ignore_errors=True)
+    with jax.profiler.trace(outdir):
+        loop(x0, params).block_until_ready()
+
+    # parse the xplane proto directly (needs
+    # PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python with this tb-profile build)
+    from collections import defaultdict
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = sorted(glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True))
+    space = xplane_pb2.XSpace()
+    with open(xs[-1], "rb") as f:
+        space.ParseFromString(f.read())
+    for plane in space.planes:
+        if "TPU" not in plane.name or "#Chip" in plane.name.lower():
+            pass
+        if not ("TPU" in plane.name or "tpu" in plane.name):
+            continue
+        em = plane.event_metadata
+        totals = defaultdict(int)
+        counts = defaultdict(int)
+        for line in plane.lines:
+            if line.name not in ("XLA Ops", "XLA Op"):  # op-level stream
+                continue
+            for ev in line.events:
+                name = em[ev.metadata_id].name
+                totals[name] += ev.duration_ps
+                counts[name] += 1
+        if not totals:
+            continue
+        total = sum(totals.values())
+        print(f"\nplane: {plane.name}  total op time {total / 1e12 * 1e3:.2f} ms")
+        for name, t in sorted(totals.items(), key=lambda kv: -kv[1])[:28]:
+            print(f"{t / 1e12 * 1e3:9.3f} ms {t / total * 100:5.1f}%  x{counts[name]:<5} {name[:100]}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "step"
     print(f"devices: {jax.devices()}")
@@ -105,5 +172,7 @@ if __name__ == "__main__":
         bench_attn()
     elif which == "attn_sdpa":
         bench_attn_sdpa()
+    elif which == "profile":
+        profile_step()
     else:
         raise SystemExit(f"unknown bench {which}")
