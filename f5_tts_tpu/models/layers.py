@@ -193,7 +193,7 @@ def conv_pos_embed_init(key, dim: int, kernel_size: int = 31, groups: int = 16):
     }
 
 
-def conv_pos_embed(p, x, mask=None, groups: int = 16):
+def conv_pos_embed_xla(p, x, mask=None, groups: int = 16):
     """Re-masks after each conv so padding never leaks (modules.py:192-197)."""
     g = groups
     m = None if mask is None else mask[..., None].astype(x.dtype)
@@ -206,6 +206,20 @@ def conv_pos_embed(p, x, mask=None, groups: int = 16):
     if m is not None:
         x = x * m
     return x
+
+
+def conv_pos_embed(p, x, mask=None, groups: int = 16):
+    """ConvPositionEmbedding: fused Pallas chain on TPU (ops/fused_convpos.py
+    keeps both convs + Mish + re-masking VMEM-resident per group), XLA grouped
+    convs elsewhere."""
+    try:
+        from f5_tts_tpu.ops.fused_convpos import conv_pos_fused, conv_pos_supported
+
+        if conv_pos_supported(x, groups):
+            return conv_pos_fused(p, x, mask=mask, groups=groups)
+    except ImportError:
+        pass
+    return conv_pos_embed_xla(p, x, mask=mask, groups=groups)
 
 
 def sinus_pos_embed(x: jax.Array, dim: int, scale: float = 1000.0) -> jax.Array:

@@ -1,0 +1,150 @@
+"""Fused ConvPositionEmbedding Pallas kernel.
+
+The reference ConvPositionEmbedding (src/f5_tts/model/modules.py:175-201) is
+two grouped Conv1d(k=31, groups=16) + Mish stages with re-masking.  XLA
+lowers each grouped conv into group-split fusions ([b, n, 16, 64] layout)
+costing ~0.8 ms per NFE step at the 1024 bucket (scripts/
+bench_step_breakdown.py profile) — ~8% of the step.
+
+Key structural fact: both convs share the same grouping, and a grouped conv's
+output group g depends only on input group g — so the ENTIRE chain
+``mask -> conv1 -> mish -> mask -> conv2 -> mish -> mask`` is separable per
+(batch, group).  This kernel runs the whole chain for one (b, g) pair with
+the x slice, both weight slices, and the intermediate all VMEM-resident: one
+pass over HBM in, one out, taps as 31 small MXU dots from VMEM.
+
+Gradients: the kernel is wrapped in a custom VJP whose backward linearizes
+the plain-XLA composition (models/layers.py conv_pos_embed math) — training
+uses the fused forward and exact XLA-derived gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KSIZE = 31
+HALF = KSIZE // 2  # 15
+PAD = 2 * HALF  # halo for the two stacked convs
+
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _kernel(lens_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, n, dg, dtype):
+    """One (batch row, PAIR of groups): blocks are 2*dg = 128 lanes wide
+    (Pallas TPU requires 128-divisible last block dims); the two 64-wide
+    group halves are sliced in-register.  x_ref [1, n+2*PAD, 2*dg] pre-masked
+    + zero-padded; w refs [31, dg, 2*dg]; bias [1, 2*dg]; o_ref [1, n, 2*dg]."""
+    bi = pl.program_id(0)
+    length = lens_ref[bi]
+    ni = n + 2 * HALF  # intermediate rows: logical [-HALF, n+HALF)
+    ridx1 = jax.lax.broadcasted_iota(jnp.int32, (ni, dg), 0) - HALF
+    ridx2 = jax.lax.broadcasted_iota(jnp.int32, (n, dg), 0)
+
+    for s in (0, 1):  # the two groups of this pair
+        sl = slice(s * dg, (s + 1) * dg)
+        acc = jnp.zeros((ni, dg), jnp.float32)
+        for t in range(KSIZE):
+            xs = x_ref[0, pl.ds(t, ni), sl].astype(dtype)
+            acc = acc + jax.lax.dot_general(
+                xs, w1_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc = acc + b1_ref[0, sl].astype(jnp.float32)
+        inter = _mish(acc)
+        # re-mask (modules.py:192-197): intermediate logical row r = i - HALF
+        inter = jnp.where((ridx1 >= 0) & (ridx1 < length), inter, 0.0).astype(dtype)
+
+        acc2 = jnp.zeros((n, dg), jnp.float32)
+        for t in range(KSIZE):
+            acc2 = acc2 + jax.lax.dot_general(
+                inter[t : t + n], w2_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc2 = acc2 + b2_ref[0, sl].astype(jnp.float32)
+        out = _mish(acc2)
+        out = jnp.where(ridx2 < length, out, 0.0)
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups",))
+def _conv_pos_fused(x, w1, b1, w2, b2, lens, groups: int):
+    b, n, d = x.shape
+    dg = d // groups
+    # pre-mask + halo-pad once (fuses with upstream elementwise in XLA)
+    xm = jnp.where(jnp.arange(n)[None, :, None] < lens[:, None, None], x, 0)
+    xp = jnp.pad(xm, ((0, 0), (PAD, PAD), (0, 0)))
+    dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    kernel = functools.partial(_kernel, n=n, dg=dg, dtype=dtype)
+    dp = 2 * dg  # group-pair block width (128 lanes)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, groups // 2),
+            in_specs=[
+                pl.BlockSpec((1, n + 2 * PAD, dp), lambda bi, gi, *_: (bi, 0, gi)),
+                pl.BlockSpec((KSIZE, dg, dp), lambda bi, gi, *_: (0, 0, gi)),
+                pl.BlockSpec((1, dp), lambda bi, gi, *_: (0, gi)),
+                pl.BlockSpec((KSIZE, dg, dp), lambda bi, gi, *_: (0, 0, gi)),
+                pl.BlockSpec((1, dp), lambda bi, gi, *_: (0, gi)),
+            ],
+            out_specs=pl.BlockSpec((1, n, dp), lambda bi, gi, *_: (bi, 0, gi)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(lens, xp, w1, b1.reshape(1, d), w2, b2.reshape(1, d))
+
+
+def _xla_ref(p, x, mask, groups):
+    """The plain composition (models/layers.py conv_pos_embed) — used for the
+    backward linearization and as the CPU fallback."""
+    from f5_tts_tpu.models import layers as L
+
+    return L.conv_pos_embed_xla(p, x, mask=mask, groups=groups)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_diff(p, x, lens, groups):
+    return _conv_pos_fused(
+        x, p["conv1"]["kernel"], p["conv1"]["bias"],
+        p["conv2"]["kernel"], p["conv2"]["bias"], lens, groups)
+
+
+def _fused_diff_fwd(p, x, lens, groups):
+    return _fused_diff(p, x, lens, groups), (p, x, lens)
+
+
+def _fused_diff_bwd(groups, res, g):
+    p, x, lens = res
+    n = x.shape[1]
+    mask = jnp.arange(n)[None, :] < lens[:, None]
+    _, vjp = jax.vjp(lambda p_, x_: _xla_ref(p_, x_, mask, groups), p, x)
+    dp, dx = vjp(g)
+    return dp, dx, jnp.zeros(lens.shape, dtype=jax.dtypes.float0)
+
+
+_fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
+
+
+def conv_pos_supported(x, groups: int) -> bool:
+    """Fused kernel gate: TPU, lane-multiple group width (dim 1024 / 16
+    groups -> 64; the 768-dim Small configs fall back to XLA convs)."""
+    if jax.default_backend() == "cpu":
+        return False
+    d = x.shape[-1]
+    return groups % 2 == 0 and d % groups == 0 and (d // groups) % 64 == 0
+
+
+def conv_pos_fused(p, x, mask=None, groups: int = 16):
+    """Drop-in for models/layers.py conv_pos_embed on TPU."""
+    b, n, _ = x.shape
+    lens = (jnp.full((b,), n, jnp.int32) if mask is None
+            else jnp.sum(mask, axis=-1).astype(jnp.int32))
+    return _fused_diff(p, x, lens, groups)
