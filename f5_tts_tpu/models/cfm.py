@@ -65,6 +65,11 @@ class SampleOptions:
     # torchdiffeq odeint methods (reference cfm.py:42, 219-222); midpoint does
     # two model evals per step (explicit midpoint rule on the sway-warped grid)
     ode_method: str = "euler"
+    # precompute the per-step AdaLN modulation tables outside the NFE scan
+    # (models/dit.py precompute_adaln — the timestep schedule is known ahead,
+    # so ~41% of DiT weights drop out of the per-step reads); euler-only,
+    # DiT-only, numerically identical up to matmul reassociation
+    precompute_adaln: bool = True
 
 
 def lens_to_mask(lens: jax.Array, length: int) -> jax.Array:
@@ -147,31 +152,55 @@ def sample(
     if activation_constraint is not None:
         extra["activation_constraint"] = activation_constraint
 
-    def velocity(x, t_k):
+    def velocity(x, t_k, adaln_mods=None):
         time = jnp.broadcast_to(t_k, (b,)).astype(compute_dtype)
+        kw = dict(extra)
+        if adaln_mods is not None:
+            kw["adaln_mods"] = adaln_mods
         if use_cfg:
             pred, null = bb.forward_cfg(
                 params, arch_cfg, x, step_cond, te_cond, te_uncond, time, mask=mask,
-                backend=backend, **extra
+                backend=backend, **kw
             )
             return pred + (pred - null) * opts.cfg_strength
         return bb.forward(
-            params, arch_cfg, x, step_cond, te_cond, time, mask=mask, backend=backend, **extra
+            params, arch_cfg, x, step_cond, te_cond, time, mask=mask, backend=backend, **kw
         )
 
     assert opts.ode_method in ("euler", "midpoint"), opts.ode_method
 
-    def ode_step(x, t_dt_k):
+    # the step timesteps are known ahead of the scan: precompute every step's
+    # AdaLN modulations once so the 22 adaln matmuls (41% of the weights)
+    # drop out of the per-step loop (models/dit.py precompute_adaln)
+    tables = None
+    if (
+        opts.precompute_adaln
+        and opts.ode_method == "euler"
+        and block_scan is None
+        and hasattr(bb, "precompute_adaln")
+    ):
+        tables = bb.precompute_adaln(
+            params, arch_cfg, jnp.asarray(ts[:-1]), dtype=compute_dtype
+        )
+
+    def ode_step(x, inp):
+        if tables is None:
+            t_dt_k = inp
+            mods_k = None
+        else:
+            t_dt_k, blk_k, fin_k = inp
+            mods_k = (blk_k, fin_k)
         t_k, dt_k = t_dt_k[0], t_dt_k[1]
         dt_c = dt_k.astype(compute_dtype)
         if opts.ode_method == "midpoint":
             k1 = velocity(x, t_k)
             x = x + dt_c * velocity(x + 0.5 * dt_c * k1, t_k + 0.5 * dt_k)
         else:
-            x = x + dt_c * velocity(x, t_k)
+            x = x + dt_c * velocity(x, t_k, adaln_mods=mods_k)
         return x, (x if return_trajectory else None)
 
-    y, traj = jax.lax.scan(ode_step, y0, t_dt)
+    xs = t_dt if tables is None else (t_dt, tables[0], tables[1])
+    y, traj = jax.lax.scan(ode_step, y0, xs)
 
     out = jnp.where(cond_mask[..., None], cond, y)
     out = jnp.where(mask[..., None], out, 0.0)

@@ -271,6 +271,12 @@ def adaln_final(p, x, emb):
     return layer_norm(x, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
 
 
+def adaln_final_from_mod(mod, x):
+    """adaln_final from a precomputed modulation row [2*dim] (shared-t batch)."""
+    scale, shift = jnp.split(mod[None], 2, axis=-1)
+    return layer_norm(x, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
+
+
 def feedforward_init(key, dim: int, mult: int = 4, dim_out: int | None = None):
     """FeedForward (modules.py:353-364): Linear -> GELU(tanh) -> Linear."""
     inner = int(dim * mult)
@@ -369,8 +375,17 @@ def dit_block_init(key, dim: int, heads: int, dim_head: int, ff_mult: int = 4, q
     }
 
 
-def dit_block(p, x, t_emb, heads: int, mask=None, rope_freqs=None, pe_attn_head=None, backend="auto"):
-    norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = adaln(p["attn_norm"], x, t_emb)
+def dit_block(p, x, t_emb, heads: int, mask=None, rope_freqs=None, pe_attn_head=None,
+              backend="auto", mod=None):
+    """``mod``: optional precomputed AdaLN modulation row [6*dim] for a
+    timestep shared by the whole batch (models/dit.py precompute_adaln) —
+    skips the per-block adaln matmul (and its 6.3M-param weight read)."""
+    if mod is not None:
+        e = mod[None]  # [1, 6*dim] broadcasts over batch
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(e, 6, axis=-1)
+        norm = layer_norm(x, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+    else:
+        norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = adaln(p["attn_norm"], x, t_emb)
     attn_out = mha(
         p["attn"], norm, heads, mask=mask, rope_freqs=rope_freqs, pe_attn_head=pe_attn_head, backend=backend
     )

@@ -164,3 +164,26 @@ def test_mask_from_frac_lengths_bounds():
     counts = np.asarray(m.sum(axis=1))
     for c, ln in zip(counts, np.asarray(lens)):
         assert 0.7 * ln - 1 <= c <= ln
+
+
+def test_precompute_adaln_matches_inline():
+    """The precomputed AdaLN-table sampling path (SampleOptions.precompute_adaln,
+    models/dit.py precompute_adaln) must match the inline per-step adaln path —
+    same math, hoisted out of the scan."""
+    cfg = SMALL
+    params = make_params(cfg, seed=3)
+    rng = np.random.default_rng(11)
+    b, n, nt = 2, 48, 12
+    cond = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)), jnp.float32)
+    text = np.full((b, nt), -1, np.int32)
+    text[0, :9] = rng.integers(0, cfg.text_num_embeds, 9)
+    text[1, :5] = rng.integers(0, cfg.text_num_embeds, 5)
+    noise = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)), jnp.float32)
+    lens = jnp.asarray([20, 14], jnp.int32)
+    dur = jnp.asarray([n, n - 8], jnp.int32)
+    outs = {}
+    for pre in (True, False):
+        opts = C.SampleOptions(steps=5, cfg_strength=2.0, precompute_adaln=pre)
+        outs[pre] = np.asarray(C.sample(
+            params, cfg, cond, jnp.asarray(text), dur, noise, lens=lens, opts=opts))
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-5, rtol=1e-5)
