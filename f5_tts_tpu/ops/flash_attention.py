@@ -409,13 +409,14 @@ def flash_supported(q) -> bool:
     return n >= 256 and n % 256 == 0 and dh % 64 == 0
 
 
-def flash_attention(q, k, v, mask=None, block_q: int = 512, block_k: int = 512):
+def flash_attention(q, k, v, mask=None, block_q: int = 1024, block_k: int = 512):
     """Drop-in for ops.attention.sdpa.  ``mask`` must be a prefix (length)
     mask [b, n]; converted to per-sample lengths for the kernel.
 
-    Default blocks 512/512: measured fastest at the serving buckets on v5e
-    (123.8 us vs 132.0 at 256/512, n=1024; scripts/bench_step_breakdown.py).
-    _pick_block halves them for shorter/non-dividing buckets."""
+    Default blocks 1024/512: v5e sweep at n=1024 measured 118.6 us (1024/512)
+    vs 123.9 (512/512) vs 132.0 (256/512) — bigger q blocks amortize program
+    switches; whole-row programs win (scripts/bench_step_breakdown.py attn).
+    _pick_block shrinks them for shorter/non-dividing buckets."""
     b, h, n, dh = q.shape
     if mask is None:
         lens = jnp.full((b,), n, jnp.int32)
