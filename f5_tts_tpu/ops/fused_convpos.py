@@ -43,32 +43,44 @@ def _kernel(lens_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, n, dg, dt
     + zero-padded; w refs [31, dg, 2*dg]; bias [1, 2*dg]; o_ref [1, n, 2*dg]."""
     bi = pl.program_id(0)
     length = lens_ref[bi]
-    ni = n + 2 * HALF  # intermediate rows: logical [-HALF, n+HALF)
-    ridx1 = jax.lax.broadcasted_iota(jnp.int32, (ni, dg), 0) - HALF
-    ridx2 = jax.lax.broadcasted_iota(jnp.int32, (n, dg), 0)
+    # process the row axis in <=1024-row chunks: the unrolled 31-tap loop's
+    # live intermediates are proportional to the row span, and a full 2048+
+    # bucket blows the 16 MB scoped-vmem stack (chunk halos recompute 2*HALF
+    # conv1 rows — negligible)
+    CH = min(n, 1024)
+    while n % CH:  # largest divisor <= 1024 (e.g. the 1536 bucket -> 768)
+        CH -= 128
+    assert CH > 0 and n % CH == 0
+    for c0 in range(0, n, CH):
+        ni = CH + 2 * HALF  # intermediate rows: logical [c0-HALF, c0+CH+HALF)
+        ridx1 = jax.lax.broadcasted_iota(jnp.int32, (ni, dg), 0) + (c0 - HALF)
+        ridx2 = jax.lax.broadcasted_iota(jnp.int32, (CH, dg), 0) + c0
 
-    for s in (0, 1):  # the two groups of this pair
-        sl = slice(s * dg, (s + 1) * dg)
-        acc = jnp.zeros((ni, dg), jnp.float32)
-        for t in range(KSIZE):
-            xs = x_ref[0, pl.ds(t, ni), sl].astype(dtype)
-            acc = acc + jax.lax.dot_general(
-                xs, w1_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        acc = acc + b1_ref[0, sl].astype(jnp.float32)
-        inter = _mish(acc)
-        # re-mask (modules.py:192-197): intermediate logical row r = i - HALF
-        inter = jnp.where((ridx1 >= 0) & (ridx1 < length), inter, 0.0).astype(dtype)
+        for s in (0, 1):  # the two groups of this pair
+            sl = slice(s * dg, (s + 1) * dg)
+            acc = jnp.zeros((ni, dg), jnp.float32)
+            for t in range(KSIZE):
+                # x_ref row p maps to logical row p - PAD; conv1 output row r
+                # needs x logical rows [r-HALF, r+HALF] -> ref rows start at
+                # (c0 - HALF) - HALF + PAD + t = c0 + t
+                xs = x_ref[0, pl.ds(c0 + t, ni), sl].astype(dtype)
+                acc = acc + jax.lax.dot_general(
+                    xs, w1_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc = acc + b1_ref[0, sl].astype(jnp.float32)
+            inter = _mish(acc)
+            # re-mask (modules.py:192-197): valid logical rows are [0, length)
+            inter = jnp.where((ridx1 >= 0) & (ridx1 < length), inter, 0.0).astype(dtype)
 
-        acc2 = jnp.zeros((n, dg), jnp.float32)
-        for t in range(KSIZE):
-            acc2 = acc2 + jax.lax.dot_general(
-                inter[t : t + n], w2_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        acc2 = acc2 + b2_ref[0, sl].astype(jnp.float32)
-        out = _mish(acc2)
-        out = jnp.where(ridx2 < length, out, 0.0)
-        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+            acc2 = jnp.zeros((CH, dg), jnp.float32)
+            for t in range(KSIZE):
+                acc2 = acc2 + jax.lax.dot_general(
+                    inter[t : t + CH], w2_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc2 = acc2 + b2_ref[0, sl].astype(jnp.float32)
+            out = _mish(acc2)
+            out = jnp.where(ridx2 < length, out, 0.0)
+            o_ref[0, pl.ds(c0, CH), sl] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("groups",))

@@ -61,3 +61,14 @@ def test_supported_gate():
     # CPU backend -> always False (kernel never runs outside interpret tests)
     x = jnp.zeros((1, 32, 1024))
     assert FC.conv_pos_supported(x, 16) is False or jax.default_backend() != "cpu"
+
+
+def test_fused_convpos_chunked_rows():
+    """n > 1024 activates the in-kernel row chunking (vmem-stack bound at the
+    2048+ buckets); 1536 also exercises the non-1024 divisor pick (CH=768)."""
+    p, x, lens, mask = make_case(b=1, n=1536, d=128, groups=2, seed=5)
+    lens = jnp.asarray([1400], jnp.int32)
+    mask = jnp.arange(1536)[None, :] < lens[:, None]
+    want = np.asarray(L.conv_pos_embed_xla(p, x, mask=mask, groups=2))
+    got = np.asarray(FC.conv_pos_fused(p, x, mask=mask, groups=2))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
