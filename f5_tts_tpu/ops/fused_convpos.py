@@ -41,46 +41,48 @@ def _kernel(lens_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, n, dg, dt
     (Pallas TPU requires 128-divisible last block dims); the two 64-wide
     group halves are sliced in-register.  x_ref [1, n+2*PAD, 2*dg] pre-masked
     + zero-padded; w refs [31, dg, 2*dg]; bias [1, 2*dg]; o_ref [1, n, 2*dg]."""
+    # one program = one (batch row, group pair, <=1024-row chunk).  Chunking
+    # via the GRID (not an unrolled in-kernel loop): the unrolled 31-tap
+    # loop's live intermediates scale with the row span, and Mosaic does not
+    # reuse stack across unrolled chunk iterations — full 2048+ buckets blew
+    # the 16 MB scoped-vmem stack.  Chunk halos recompute 2*HALF conv1 rows.
     bi = pl.program_id(0)
+    ci = pl.program_id(2)
     length = lens_ref[bi]
-    # process the row axis in <=1024-row chunks: the unrolled 31-tap loop's
-    # live intermediates are proportional to the row span, and a full 2048+
-    # bucket blows the 16 MB scoped-vmem stack (chunk halos recompute 2*HALF
-    # conv1 rows — negligible)
-    CH = min(n, 1024)
-    while n % CH:  # largest divisor <= 1024 (e.g. the 1536 bucket -> 768)
-        CH -= 128
-    assert CH > 0 and n % CH == 0
-    for c0 in range(0, n, CH):
-        ni = CH + 2 * HALF  # intermediate rows: logical [c0-HALF, c0+CH+HALF)
-        ridx1 = jax.lax.broadcasted_iota(jnp.int32, (ni, dg), 0) + (c0 - HALF)
-        ridx2 = jax.lax.broadcasted_iota(jnp.int32, (CH, dg), 0) + c0
+    ch = o_ref.shape[1]  # chunk rows (out block)
+    c0 = pl.multiple_of(ci * ch, ch)
+    ni = ch + 2 * HALF  # intermediate rows: logical [c0-HALF, c0+ch+HALF)
+    ridx1 = jax.lax.broadcasted_iota(jnp.int32, (ni, dg), 0) + (c0 - HALF)
+    ridx2 = jax.lax.broadcasted_iota(jnp.int32, (ch, dg), 0) + c0
 
-        for s in (0, 1):  # the two groups of this pair
-            sl = slice(s * dg, (s + 1) * dg)
-            acc = jnp.zeros((ni, dg), jnp.float32)
-            for t in range(KSIZE):
-                # x_ref row p maps to logical row p - PAD; conv1 output row r
-                # needs x logical rows [r-HALF, r+HALF] -> ref rows start at
-                # (c0 - HALF) - HALF + PAD + t = c0 + t
-                xs = x_ref[0, pl.ds(c0 + t, ni), sl].astype(dtype)
-                acc = acc + jax.lax.dot_general(
-                    xs, w1_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            acc = acc + b1_ref[0, sl].astype(jnp.float32)
-            inter = _mish(acc)
-            # re-mask (modules.py:192-197): valid logical rows are [0, length)
-            inter = jnp.where((ridx1 >= 0) & (ridx1 < length), inter, 0.0).astype(dtype)
+    for s in (0, 1):  # the two groups of this pair
+        sl = slice(s * dg, (s + 1) * dg)
+        # ONE aligned dynamic load of the chunk's halo window (start c0 is a
+        # chunk multiple, provably 8-aligned for Mosaic; per-tap dynamic
+        # starts c0+t are not), then static in-register tap slices.
+        # x_ref row p maps to logical row p - PAD; conv1 output rows
+        # [c0-HALF, c0+ch+HALF) need x logical [c0-2*HALF, c0+ch+2*HALF)
+        # = ref rows [c0, c0 + ch + 2*PAD) and tap t reads xw[t : t + ni].
+        xw = x_ref[0, pl.ds(c0, ni + KSIZE - 1), sl].astype(dtype)
+        acc = jnp.zeros((ni, dg), jnp.float32)
+        for t in range(KSIZE):
+            acc = acc + jax.lax.dot_general(
+                xw[t : t + ni], w1_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc = acc + b1_ref[0, sl].astype(jnp.float32)
+        inter = _mish(acc)
+        # re-mask (modules.py:192-197): valid logical rows are [0, length)
+        inter = jnp.where((ridx1 >= 0) & (ridx1 < length), inter, 0.0).astype(dtype)
 
-            acc2 = jnp.zeros((CH, dg), jnp.float32)
-            for t in range(KSIZE):
-                acc2 = acc2 + jax.lax.dot_general(
-                    inter[t : t + CH], w2_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            acc2 = acc2 + b2_ref[0, sl].astype(jnp.float32)
-            out = _mish(acc2)
-            out = jnp.where(ridx2 < length, out, 0.0)
-            o_ref[0, pl.ds(c0, CH), sl] = out.astype(o_ref.dtype)
+        acc2 = jnp.zeros((ch, dg), jnp.float32)
+        for t in range(KSIZE):
+            acc2 = acc2 + jax.lax.dot_general(
+                inter[t : t + ch], w2_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc2 = acc2 + b2_ref[0, sl].astype(jnp.float32)
+        out = _mish(acc2)
+        out = jnp.where(ridx2 < length, out, 0.0)
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("groups",))
@@ -93,23 +95,27 @@ def _conv_pos_fused(x, w1, b1, w2, b2, lens, groups: int):
     dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     kernel = functools.partial(_kernel, n=n, dg=dg, dtype=dtype)
     dp = 2 * dg  # group-pair block width (128 lanes)
+    ch = min(n, 1024)
+    while n % ch:  # largest row-chunk divisor <= 1024 (the 1536 bucket -> 768)
+        ch -= 128
+    assert ch > 0 and n % ch == 0
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, groups // 2),
+            grid=(b, groups // 2, n // ch),
             in_specs=[
-                pl.BlockSpec((1, n + 2 * PAD, dp), lambda bi, gi, *_: (bi, 0, gi)),
-                pl.BlockSpec((KSIZE, dg, dp), lambda bi, gi, *_: (0, 0, gi)),
-                pl.BlockSpec((1, dp), lambda bi, gi, *_: (0, gi)),
-                pl.BlockSpec((KSIZE, dg, dp), lambda bi, gi, *_: (0, 0, gi)),
-                pl.BlockSpec((1, dp), lambda bi, gi, *_: (0, gi)),
+                pl.BlockSpec((1, n + 2 * PAD, dp), lambda bi, gi, ci, *_: (bi, 0, gi)),
+                pl.BlockSpec((KSIZE, dg, dp), lambda bi, gi, ci, *_: (0, 0, gi)),
+                pl.BlockSpec((1, dp), lambda bi, gi, ci, *_: (0, gi)),
+                pl.BlockSpec((KSIZE, dg, dp), lambda bi, gi, ci, *_: (0, 0, gi)),
+                pl.BlockSpec((1, dp), lambda bi, gi, ci, *_: (0, gi)),
             ],
-            out_specs=pl.BlockSpec((1, n, dp), lambda bi, gi, *_: (bi, 0, gi)),
+            out_specs=pl.BlockSpec((1, ch, dp), lambda bi, gi, ci, *_: (bi, ci, gi)),
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
     )(lens, xp, w1, b1.reshape(1, d), w2, b2.reshape(1, d))
 
