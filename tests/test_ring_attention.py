@@ -188,3 +188,42 @@ def test_ring_flash_block_merge(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got) * keep, np.asarray(ref) * keep, atol=2e-5, rtol=1e-4
     )
+
+
+def test_train_step_ring_with_remat():
+    """Ring attention must compose with activation checkpointing (the real
+    training configs run full remat): shard_map+ppermute inside jax.checkpoint
+    inside the block scan."""
+    import dataclasses
+
+    from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
+
+    cfg = dataclasses.replace(CFG, checkpoint_activations=True)
+    params = dit.init(jax.random.PRNGKey(1), cfg)
+    opt_cfg = OptimConfig(num_warmup_updates=2, total_updates=10)
+    b, n, nt = 4, 32, 8
+    rng = np.random.default_rng(9)
+    batch_np = {
+        "mel": rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32),
+        "text_ids": rng.integers(0, cfg.text_num_embeds, (b, nt)).astype(np.int32),
+        "lens": np.full((b,), n, np.int32),
+    }
+    key = jax.random.PRNGKey(2)
+
+    opt_state, ema, step = init_train_state(params, opt_cfg)
+    base_fn = jax.jit(functools.partial(
+        train_step, arch_cfg=cfg, opt_cfg=opt_cfg, backend="sdpa"))
+    *_, m1 = base_fn(params, opt_state, ema, step,
+                     {k: jnp.asarray(v) for k, v in batch_np.items()}, key)
+
+    mesh = sp.make_sp_mesh(data=2, seq=2, model=1)
+    sharded = shard_params(params, mesh, dit_param_specs(params))
+    opt_state, ema, step = init_train_state(sharded, opt_cfg)
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+    batch = {k: jax.device_put(v, bsh) for k, v in batch_np.items()}
+    ring_fn = jax.jit(functools.partial(
+        train_step, arch_cfg=cfg, opt_cfg=opt_cfg,
+        backend=make_ring_attention(mesh),
+        activation_constraint=sp.make_seq_constraint(mesh)))
+    *_, m2 = ring_fn(sharded, opt_state, ema, step, batch, key)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=2e-5)
