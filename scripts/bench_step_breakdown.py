@@ -99,7 +99,6 @@ def bench_attn_sdpa():
 def profile_step(iters=30, outdir="/tmp/jaxtrace"):
     """Trace `iters` DiT steps and print the per-HLO time table (top 25)."""
     import glob
-    import gzip
     import shutil
 
     from f5_tts_tpu.models import dit
@@ -141,9 +140,7 @@ def profile_step(iters=30, outdir="/tmp/jaxtrace"):
     with open(xs[-1], "rb") as f:
         space.ParseFromString(f.read())
     for plane in space.planes:
-        if "TPU" not in plane.name or "#Chip" in plane.name.lower():
-            pass
-        if not ("TPU" in plane.name or "tpu" in plane.name):
+        if "TPU" not in plane.name:
             continue
         em = plane.event_metadata
         totals = defaultdict(int)
