@@ -313,7 +313,7 @@ def _pick_block(n: int, preferred: int) -> int:
     return blk
 
 
-def flash_attention_trainable(q, k, v, mask=None, block_q: int = 256, block_k: int = 512):
+def flash_attention_trainable(q, k, v, mask=None, block_q: int = 512, block_k: int = 512):
     """Differentiable flash attention (custom VJP with Pallas fwd+bwd kernels).
     Padding-query rows must receive zero upstream gradient — guaranteed when
     the caller re-masks the attention output (models/layers.py mha does)."""
