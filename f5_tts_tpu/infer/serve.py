@@ -36,6 +36,14 @@ class BatchServer:
     Requests are bucketed by duration (like the reference eval's
     get_inference_prompt bucketing, utils_eval.py:72-205) so one graph serves
     each (batch, bucket) pair.
+
+    ORDERING: construct the BatchServer BEFORE warming the engine.  With
+    ``sequence_parallel=True`` the constructor replaces ``engine.options``
+    and ``engine.parallel_hooks`` (ring-attention backend + seq sharding
+    constraint); graphs compiled earlier via ``engine.warmup_all()`` used
+    the non-parallel backend and would be silently discarded.  Use
+    ``BatchServer.warmup_all(...)`` which compiles under the mesh with the
+    installed hooks.
     """
 
     def __init__(self, engine: InferenceEngine, mesh=None, batch_size: int = 8,
@@ -171,9 +179,25 @@ class BatchServer:
             self._put(jnp.asarray(seeds)),
             decode=eng.vocoder_params is not None,
             vocoder_type=eng.vocoder_type,
+            vocoder_cfg=eng.vocoder_cfg,
+            hooks=eng.parallel_hooks,
         )
         wavs, gen_frames = eng._trim_wavs(wav, duration, lens)
         return None, wavs, gen_frames
+
+    def warmup_all(self, buckets=None) -> None:
+        """Pre-compile the sharded serving graph for every bucket THROUGH this
+        server (under the mesh, with the installed parallel hooks) — the
+        ordering-safe counterpart of ``engine.warmup_all()``."""
+        eng = self.engine
+        d = eng.model_cfg.mel.n_mel_channels
+        for n in buckets or eng.buckets:
+            req = Request(
+                ref_mel=np.zeros((n // 4, d), np.float32),
+                text_ids=np.zeros((min(64, n),), np.int32),
+                duration=n - 1,
+            )
+            self.run([req] * self.batch_size, overlap=1)
 
 
 def rtf_report(wavs: list[np.ndarray], latencies: list[float], sample_rate: int = 24_000) -> dict:

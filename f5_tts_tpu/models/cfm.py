@@ -234,7 +234,9 @@ def loss(
     audio_drop_prob: float = 0.3,
     cond_drop_prob: float = 0.2,
     frac_lengths_mask=(0.7, 1.0),
-    backend: str = "sdpa",  # flash kernel has no backward yet; training uses XLA SDPA
+    backend: str = "sdpa",  # default kept for CPU tests; Trainer passes
+    # "train_auto" which picks the Pallas flash fwd+bwd custom-VJP kernel on
+    # TPU (ops/flash_attention.py flash_attention_trainable)
     valid: jax.Array | None = None,  # [b] 1=real row, 0=DP-padding duplicate
     block_scan=None,  # pipeline-parallel block schedule (parallel/pipeline.py)
     activation_constraint=None,  # sequence-parallel sharding pin (parallel/sequence.py)

@@ -96,9 +96,10 @@ def _conv_pos_fused(x, w1, b1, w2, b2, lens, groups: int):
     kernel = functools.partial(_kernel, n=n, dg=dg, dtype=dtype)
     dp = 2 * dg  # group-pair block width (128 lanes)
     ch = min(n, 1024)
-    while n % ch:  # largest row-chunk divisor <= 1024 (the 1536 bucket -> 768)
+    while ch > 0 and n % ch:  # largest row-chunk divisor <= 1024 (1536 bucket -> 768)
         ch -= 128
-    assert ch > 0 and n % ch == 0
+    if ch <= 0:  # no 128-step divisor (conv_pos_supported gates this; belt+braces)
+        raise ValueError(f"conv_pos fused kernel: no row-chunk divisor for n={n}")
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -153,10 +154,16 @@ _fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
 
 def conv_pos_supported(x, groups: int) -> bool:
     """Fused kernel gate: TPU, lane-multiple group width (dim 1024 / 16
-    groups -> 64; the 768-dim Small configs fall back to XLA convs)."""
+    groups -> 64; the 768-dim Small configs fall back to XLA convs).
+    Also requires a row-chunk divisor for the sequence length: n <= 1024
+    or n a multiple of 128 (the kernel chunks rows by the largest divisor
+    <= 1024 in steps of 128 — a 1100-frame custom bucket has none)."""
     if jax.default_backend() == "cpu":
         return False
     d = x.shape[-1]
+    n = x.shape[1]
+    if n > 1024 and n % 128 != 0:
+        return False
     return groups % 2 == 0 and d % groups == 0 and (d // groups) % 64 == 0
 
 

@@ -40,7 +40,7 @@ class Trainer:
         keep_last_n_checkpoints: int = -1,
         last_per_updates: int = 5_000,
         log_file: str | None = None,
-        logger: str | None = None,  # "wandb" | None
+        logger: str | None = None,  # "wandb" | "tensorboard" | None (JSONL always on)
         mesh=None,
         seed: int = 666,
         log_samples_fn=None,  # callback(ema_params, update) -> None; called at each save
@@ -74,6 +74,7 @@ class Trainer:
         os.makedirs(ckpt_dir, exist_ok=True)
         self.log_file = log_file or os.path.join(ckpt_dir, "train_log.jsonl")
         self.wandb = None
+        self.tb_writer = None
         if logger == "wandb":
             try:
                 import wandb
@@ -81,14 +82,16 @@ class Trainer:
                 self.wandb = wandb
             except ImportError:
                 pass
+        elif logger == "tensorboard":
+            # reference trainer.py:97-102 writes TB events under
+            # <ckpt_dir>/runs; tensorboardX keeps us torch/tf-agnostic
+            try:
+                from tensorboardX import SummaryWriter
 
-        block_scan = None
-        if self.pipeline_microbatches:
-            from f5_tts_tpu.parallel.pipeline import make_dit_block_scan
+                self.tb_writer = SummaryWriter(logdir=os.path.join(ckpt_dir, "runs"))
+            except ImportError:
+                pass
 
-            block_scan = make_dit_block_scan(
-                model_cfg.arch, mesh, self.pipeline_microbatches, backend="train_auto"
-            )
         activation_constraint = None
         step_backend = "train_auto"
         if self.sequence_parallel:
@@ -98,8 +101,19 @@ class Trainer:
             activation_constraint = make_seq_constraint(mesh)
             # differentiable ring attention over the seq axis (parallel/ring.py):
             # KV chunks rotate over ICI instead of GSPMD all-gathering full KV
-            # around an opaque flash kernel
-            step_backend = make_ring_attention(mesh, block_impl="xla")
+            # around an opaque flash kernel; "auto" picks the Pallas flash
+            # block primitive (custom-VJP fwd+bwd) on TPU, einsum on CPU
+            step_backend = make_ring_attention(mesh, block_impl="auto")
+        block_scan = None
+        if self.pipeline_microbatches:
+            from f5_tts_tpu.parallel.pipeline import make_dit_block_scan
+
+            # under pp x sp the attention INSIDE the pipelined blocks must
+            # also be the ring backend (the seq shard_map nests inside the
+            # pipe shard_map; axes are disjoint so manual regions compose)
+            block_scan = make_dit_block_scan(
+                model_cfg.arch, mesh, self.pipeline_microbatches, backend=step_backend
+            )
         self._step_fn = jax.jit(
             functools.partial(
                 train_step, arch_cfg=model_cfg.arch, opt_cfg=opt_cfg, backend=step_backend,
@@ -170,6 +184,12 @@ class Trainer:
             f.write(json.dumps(rec) + "\n")
         if self.wandb is not None and getattr(self.wandb, "run", None):
             self.wandb.log(rec, step=rec.get("update"))
+        if self.tb_writer is not None:
+            step = rec.get("update", 0)
+            for k, v in rec.items():
+                if isinstance(v, (int, float)) and k != "update":
+                    self.tb_writer.add_scalar(k, v, global_step=step)
+            self.tb_writer.flush()
 
     # ---------------------------------------------------------------- train
     def train(self, params, dataset, epochs: int = 1, resume: bool = True, progress=None):
