@@ -23,6 +23,14 @@ NEG_BIG = -1e30
 LOG2E = 1.4426950408889634  # log2(e): folds exp->exp2 into the q prescale
 
 
+def _out_struct(x, shape, dtype=None):
+    """pallas_call out_shape that carries x's varying-mesh-axes (vma) set:
+    inside a manual shard_map region (parallel/ring.py rings these kernels
+    over the 'seq' axis) jax requires the output vma to be declared; outside
+    shard_map the set is empty and this degrades to a plain struct."""
+    return jax.ShapeDtypeStruct(shape, dtype or x.dtype, vma=jax.typeof(x).vma)
+
+
 def _kernel_fwd_stats(lens_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, block_k, n_kv, heads):
     """Forward with logsumexp stats output (for the custom-vjp backward)."""
     bh = pl.program_id(0)
@@ -188,7 +196,7 @@ def _flash(q, k, v, lens, block_q: int, block_k: int):
             ],
             out_specs=pl.BlockSpec((1, block_q, dh), q_map),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+        out_shape=_out_struct(qf, (b * h, n, dh)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -218,8 +226,8 @@ def _flash_fwd_stats(q, k, v, lens, block_q: int, block_k: int):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, n), jnp.float32),
+            _out_struct(qf, (b * h, n, dh)),
+            _out_struct(qf, (b * h, 1, n), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
     )(lens, qf, kf, vf)
@@ -246,7 +254,7 @@ def _flash_bwd(q, k, v, do, L, D, lens, block_q: int, block_k: int):
             ],
             out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, iq, *_: (bh, iq, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+        out_shape=_out_struct(qf, (b * h, n, dh)),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
     )(lens, qf, kf, vf, dof, L, D)
     dk, dv = pl.pallas_call(
@@ -268,8 +276,8 @@ def _flash_bwd(q, k, v, do, L, D, lens, block_q: int, block_k: int):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+            _out_struct(qf, (b * h, n, dh)),
+            _out_struct(qf, (b * h, n, dh)),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
     )(lens, qf, kf, vf, dof, L, D)
@@ -296,6 +304,52 @@ def _flash_diff_bwd(block_q, block_k, res, do):
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+# --------------------------------------- differentiable forward-with-stats
+# The ring-attention block primitive (parallel/ring.py) needs BOTH the
+# normalized block output and its logsumexp, and needs gradients to flow
+# through both (the ring's online merge weights blocks by exp(lse - m)).
+# The logsumexp cotangent folds into the standard flash backward:
+#     dL_i/ds_ij = softmax_j(s)_ij = p_ij
+# so  ds_ij = p_ij * (dp_ij - D_i + dL_i)  —  i.e. the usual backward with
+# the jacobian correction shifted to D' = D - dL.  _flash_bwd is reused
+# unchanged.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_stats_diff(q, k, v, lens, block_q, block_k):
+    return _flash_fwd_stats(q, k, v, lens, block_q, block_k)
+
+
+def _flash_stats_diff_fwd(q, k, v, lens, block_q, block_k):
+    out, L = _flash_fwd_stats(q, k, v, lens, block_q, block_k)
+    return (out, L), (q, k, v, lens, out, L)
+
+
+def _flash_stats_diff_bwd(block_q, block_k, res, cot):
+    do, dL = cot
+    q, k, v, lens, out, L = res
+    b, h, n, dh = q.shape
+    do = do.astype(q.dtype)
+    D = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1).reshape(b * h, 1, n)
+    D = D - dL.astype(jnp.float32).reshape(b * h, 1, n)
+    dq, dk, dv = _flash_bwd(q, k, v, do, L, D, lens, block_q, block_k)
+    return dq, dk, dv, jnp.zeros(lens.shape, dtype=jax.dtypes.float0)
+
+
+_flash_stats_diff.defvjp(_flash_stats_diff_fwd, _flash_stats_diff_bwd)
+
+
+def flash_attention_with_stats(q, k, v, lens, block_q: int = 256, block_k: int = 512):
+    """Differentiable flash attention returning ``(out, logsumexp)``.
+
+    ``lens`` is the per-row valid key-prefix length [b] (0 allowed — a fully
+    masked row yields out=0, lse=NEG_BIG-ish, and zero gradients).  The
+    logsumexp is NATURAL-log (parallel/ring.py's merge depends on this).
+    """
+    n, nk = q.shape[2], k.shape[2]
+    return _flash_stats_diff(q, k, v, lens, _pick_block(n, block_q), _pick_block(nk, block_k))
 
 
 def _pick_block(n: int, preferred: int) -> int:
@@ -378,7 +432,7 @@ def _flash_seg(q, k, v, lens2, seg: int, block_q: int, block_k: int):
             ],
             out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, iq, *_: (bh, iq, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+        out_shape=_out_struct(qf, (b * h, n, dh)),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
     )(lens2, qf, kf, vf)
     return out.reshape(b, h, n, dh)

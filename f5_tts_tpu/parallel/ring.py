@@ -11,7 +11,11 @@ all-gather's O(n) resident KV never materializes.
 
 Composition: ``jax.shard_map`` is manual ONLY over ``seq`` (``axis_names``
 subset, same pattern as parallel/pipeline.py), so data/model axes stay under
-GSPMD auto-partitioning and dp x sp x tp compose.
+GSPMD auto-partitioning and dp x sp x tp compose.  Limitation: the ring does
+NOT nest inside the GPipe ``pipe`` shard_map (the Shardy partitioner rejects
+an inner manual region re-binding the pipe axis) — pp x sp composes via
+GSPMD sequence sharding instead (parallel/sequence.py constraints; attention
+all-gathers KV), which is what the Trainer selects when both flags are set.
 
 Masking is the reference's key-side prefix padding mask
 (src/f5_tts/model/modules.py:513-518): global column c of batch row i is
@@ -20,13 +24,15 @@ prefix mask of length clip(lens - o, 0, chunk), which is what lets the
 single-prefix Pallas flash kernel (ops/flash_attention.py) serve as the
 block primitive unchanged.
 
-Two block implementations:
-- ``xla`` (default): einsum block scores + online-softmax merge in fp32.
-  Fully differentiable (autodiff through ppermute transposes the ring), so
-  it is the training path.
-- ``flash``: the Pallas flash forward with logsumexp stats per block, merged
-  in log space.  Forward-only (the per-block custom VJP does not expose the
-  stats); serving path on TPU.
+Two block implementations, BOTH differentiable (autodiff through ppermute
+transposes the ring; the merge arithmetic is plain jnp):
+- ``xla``: einsum block scores + online-softmax merge in fp32.  Works on any
+  platform (CPU tests, small shards).
+- ``flash``: the Pallas flash forward-with-stats as the block primitive,
+  merged in log space; gradients via the per-block custom VJP
+  (ops/flash_attention.flash_attention_with_stats — the logsumexp cotangent
+  folds into the backward's jacobian-correction term).  TPU serving AND
+  training path.
 
 Sharding-design reference: jax-ml.github.io/scaling-book, context
 parallelism (ring attention with collective-permute).  The reference has no
@@ -69,18 +75,18 @@ def _block_scores_merge(q, k_cur, v_cur, lens, offset, scale, m, l, acc):
 
 def _block_flash_merge(q, k_cur, v_cur, lens, offset, m, l, acc):
     """One ring step using the Pallas flash forward-with-stats as the block
-    primitive; merges normalized block outputs in log space."""
+    primitive; merges normalized block outputs in log space.  Differentiable:
+    flash_attention_with_stats carries a custom VJP over (out, logsumexp), so
+    sequence-parallel TRAINING runs on the Pallas kernels too."""
     from f5_tts_tpu.ops import flash_attention as fa
 
     b, h, nl, d = q.shape
     nc = k_cur.shape[2]
     lens_local = jnp.clip(lens - offset, 0, nc).astype(jnp.int32)
-    # _pick_block, not min(): a non-dividing block would silently drop
-    # trailing rows in the kernel's floor-division grid (e.g. local shard 384
-    # from bucket 768 at sp=2 needs block 128, not 256)
-    out_b, L_b = fa._flash_fwd_stats(
-        q, k_cur, v_cur, lens_local, fa._pick_block(nl, 256), fa._pick_block(nc, 512)
-    )
+    # block sizes resolve via _pick_block inside, not min(): a non-dividing
+    # block would silently drop trailing rows in the kernel's floor-division
+    # grid (e.g. local shard 384 from bucket 768 at sp=2 needs block 128)
+    out_b, L_b = fa.flash_attention_with_stats(q, k_cur, v_cur, lens_local)
     lse = L_b.reshape(b, h, nl)[..., None]  # [b,h,nl,1]
     m_new = jnp.maximum(m, lse)
     w_old = jnp.exp(m - m_new)
@@ -131,9 +137,9 @@ def make_ring_attention(mesh: Mesh, block_impl: str = "xla"):
     """Build an ``attention``-backend callable (ops/attention.py accepts a
     callable backend) that runs ring attention over ``mesh``'s ``seq`` axis.
 
-    block_impl: "xla" (differentiable; training + CPU), "flash" (Pallas
-    forward-only block primitive; TPU serving), or "auto" (flash when the
-    local shard shapes allow and the platform is not CPU).
+    block_impl: "xla" (any platform; CPU tests), "flash" (Pallas block
+    primitive with custom-VJP gradients; TPU serving + training), or "auto"
+    (flash when the local shard shapes allow and the platform is not CPU).
     """
     assert SEQ_AXIS in mesh.axis_names, f"mesh {mesh.axis_names} has no '{SEQ_AXIS}' axis"
     sp = mesh.shape[SEQ_AXIS]
@@ -150,9 +156,16 @@ def make_ring_attention(mesh: Mesh, block_impl: str = "xla"):
             if mask is None
             else jnp.sum(mask, axis=-1).astype(jnp.int32)
         )
+        # when already inside a manual shard_map region (e.g. nested in the
+        # GPipe pipe-axis region, pp x sp), the inner shard_map must use the
+        # context's ABSTRACT mesh (whose pipe axis is Manual) — a concrete
+        # Mesh with all-Auto axes is rejected.  Standalone calls keep the
+        # concrete mesh.
+        cur = jax.sharding.get_abstract_mesh()
+        use_mesh = cur if SEQ_AXIS in getattr(cur, "axis_names", ()) else mesh
         fn = jax.shard_map(
             functools.partial(_ring_local, axis_name=SEQ_AXIS, block_impl=impl),
-            mesh=mesh,
+            mesh=use_mesh,
             in_specs=(spec_qkv, spec_qkv, spec_qkv, P()),
             out_specs=spec_qkv,
             axis_names=frozenset({SEQ_AXIS}),

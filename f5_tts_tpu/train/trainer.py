@@ -99,18 +99,25 @@ class Trainer:
             from f5_tts_tpu.parallel.sequence import make_seq_constraint
 
             activation_constraint = make_seq_constraint(mesh)
-            # differentiable ring attention over the seq axis (parallel/ring.py):
-            # KV chunks rotate over ICI instead of GSPMD all-gathering full KV
-            # around an opaque flash kernel; "auto" picks the Pallas flash
-            # block primitive (custom-VJP fwd+bwd) on TPU, einsum on CPU
-            step_backend = make_ring_attention(mesh, block_impl="auto")
+            if self.pipeline_microbatches:
+                # ring's seq shard_map cannot nest inside the GPipe pipe
+                # region under the Shardy partitioner (inner manual region
+                # re-binds the pipe axis); pp x sp composes via GSPMD
+                # sequence sharding instead — activations stay sharded on
+                # 'seq', attention all-gathers KV (tests/test_ring_attention
+                # test_train_step_pp_sp)
+                pass
+            else:
+                # differentiable ring attention over the seq axis
+                # (parallel/ring.py): KV chunks rotate over ICI instead of
+                # GSPMD all-gathering full KV around an opaque flash kernel;
+                # "auto" picks the Pallas flash block primitive (custom-VJP
+                # fwd+bwd) on TPU, einsum on CPU
+                step_backend = make_ring_attention(mesh, block_impl="auto")
         block_scan = None
         if self.pipeline_microbatches:
             from f5_tts_tpu.parallel.pipeline import make_dit_block_scan
 
-            # under pp x sp the attention INSIDE the pipelined blocks must
-            # also be the ring backend (the seq shard_map nests inside the
-            # pipe shard_map; axes are disjoint so manual regions compose)
             block_scan = make_dit_block_scan(
                 model_cfg.arch, mesh, self.pipeline_microbatches, backend=step_backend
             )

@@ -1,5 +1,7 @@
 """Flash attention kernel vs SDPA reference (interpret mode on CPU)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,6 +176,58 @@ def test_chunked_attention_matches_sdpa_and_grads():
     gc = np.asarray(jax.grad(loss_c)(q))
     gs = np.asarray(jax.grad(loss_s)(q))
     np.testing.assert_allclose(gc, gs, atol=1e-4)
+
+
+def test_flash_with_stats_value_and_grads():
+    """flash_attention_with_stats (the differentiable ring block primitive):
+    (out, logsumexp) values AND gradients — including the logsumexp cotangent
+    path, which the custom VJP folds into the jacobian-correction term
+    (D' = D - dL) — must match a jnp oracle with the kernel's masking."""
+    from f5_tts_tpu.ops.flash_attention import flash_attention_with_stats
+
+    rng = np.random.default_rng(13)
+    b, h, n, dh = 2, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    lens = jnp.asarray([256, 140], jnp.int32)
+    valid_q = (np.arange(n)[None, :] < np.asarray(lens)[:, None])  # [b, n]
+    w_out = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32)
+                        * valid_q[:, None, :, None])
+    w_lse = jnp.asarray(rng.standard_normal((b * h, 1, n)).astype(np.float32)
+                        * np.repeat(valid_q, h, axis=0).reshape(b * h, 1, n))
+
+    def oracle(q_, k_, v_):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_, k_).astype(jnp.float32) * dh**-0.5
+        col = jnp.arange(n)
+        s = jnp.where((col[None, :] < lens[:, None])[:, None, None, :], s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p / l, v_)
+        lse = (m + jnp.log(l))[..., 0].reshape(b * h, 1, n)
+        return out, lse
+
+    def flash(q_, k_, v_):
+        return flash_attention_with_stats(q_, k_, v_, lens, block_q=128, block_k=128)
+
+    def loss(fn, q_, k_, v_):
+        out, lse = fn(q_, k_, v_)
+        return jnp.sum(out * w_out) + jnp.sum(lse * w_lse)
+
+    o_f, l_f = flash(q, k, v)
+    o_s, l_s = oracle(q, k, v)
+    mm = valid_q[:, None, :, None]
+    np.testing.assert_allclose(np.asarray(o_f) * mm, np.asarray(o_s) * mm, atol=2e-2)
+    lm = np.repeat(valid_q, h, axis=0).reshape(b * h, 1, n)
+    np.testing.assert_allclose(np.asarray(l_f) * lm, np.asarray(l_s) * lm, atol=5e-3)
+
+    gf = jax.grad(functools.partial(loss, flash), argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(functools.partial(loss, oracle), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gs):
+        err = np.abs(np.asarray(a) - np.asarray(b_)).mean()
+        assert err < 5e-3, err
+        assert np.isfinite(np.asarray(a)).all()
 
 
 def test_flash_trainable_grads_match_sdpa():
