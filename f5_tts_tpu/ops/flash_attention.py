@@ -32,25 +32,30 @@ def _out_struct(x, shape, dtype=None):
 
 
 def _kernel_fwd_stats(lens_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, block_k, n_kv, heads):
-    """Forward with logsumexp stats output (for the custom-vjp backward)."""
+    """Forward with logsumexp stats output (for the custom-vjp backward).
+
+    Runs the same exp2-domain softmax with folded q prescale as the serving
+    ``_kernel`` (two fewer [BQ, BK] VPU passes per chunk); the stored
+    logsumexp converts back to NATURAL log at the end — parallel/ring.py's
+    log-space merge and the backward kernels both depend on that."""
     bh = pl.program_id(0)
     b = bh // heads
     kv_len = lens_ref[b]
-    q = q_ref[0].astype(jnp.bfloat16)
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
     bq, dh = q.shape
-    m = jnp.full((bq, 1), NEG_BIG, jnp.float32)
+    m = jnp.full((bq, 1), NEG_BIG, jnp.float32)  # log2-domain running max
     l = jnp.zeros((bq, 1), jnp.float32)
     acc = jnp.zeros((bq, dh), jnp.float32)
     for j in range(n_kv // block_k):
         k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
         v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
         s = jnp.where(col < kv_len, s, NEG_BIG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
@@ -58,18 +63,23 @@ def _kernel_fwd_stats(lens_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, blo
         m = m_new
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    l_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+    # natural-log logsumexp: L = (m2 + log2(l)) / log2(e)
+    l_ref[0, 0] = ((m + jnp.log2(l_safe)) * (1.0 / LOG2E))[:, 0]
 
 
 def _kernel_dq(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
                *, scale, block_k, n_kv, heads):
-    """dq_i = scale * sum_j ds_ij k_j;  ds = p * (do k v^T - D)."""
+    """dq_i = scale * sum_j ds_ij k_j;  ds = p * (do k v^T - D).
+
+    p recomputes through the exp2 domain: q carries the folded prescale so
+    the score dot lands in log2 space, and the natural-log L converts once
+    per q block (p = exp2(s2 - L*log2e) == exp(s - L))."""
     bh = pl.program_id(0)
     b = bh // heads
     kv_len = lens_ref[b]
-    q = q_ref[0].astype(jnp.bfloat16)
+    q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
     do = do_ref[0].astype(jnp.bfloat16)
-    L = L_ref[0, 0][:, None]  # [bq, 1]
+    L2 = L_ref[0, 0][:, None] * LOG2E  # [bq, 1] log2-domain logsumexp
     D = D_ref[0, 0][:, None]
     bq, dh = q.shape
     dq = jnp.zeros((bq, dh), jnp.float32)
@@ -77,10 +87,10 @@ def _kernel_dq(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
         k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
         v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
         s = jnp.where(col < kv_len, s, NEG_BIG)
-        p = jnp.exp(s - L)
+        p = jnp.exp2(s - L2)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - D)
@@ -103,14 +113,19 @@ def _kernel_dkv(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dk_ref, dv_
     dk = jnp.zeros((bk, dh), jnp.float32)
     dv = jnp.zeros((bk, dh), jnp.float32)
     for i in range(n_q // block_q):
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
+        # q is needed BOTH raw (dk accumulation) and prescaled (exp2-domain
+        # scores) — the [bq, dh] prescale pass is far cheaper than the two
+        # [bq, bk]-wide passes the exp2 domain removes
+        qf = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = qf.astype(jnp.bfloat16)
+        qs = (qf * (scale * LOG2E)).astype(jnp.bfloat16)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
-        L = L_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        L2 = L_ref[0, 0, pl.ds(i * block_q, block_q)][:, None] * LOG2E
         D = D_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         s = jnp.where(col < kv_len, s, NEG_BIG)
-        p = jnp.exp(s - L)  # [bq, bk]
+        p = jnp.exp2(s - L2)  # [bq, bk] == exp(s_nat - L)
         dv = dv + jax.lax.dot_general(p.astype(jnp.bfloat16), do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
