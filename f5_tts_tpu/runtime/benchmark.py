@@ -70,7 +70,10 @@ def main(argv=None):
         reqs.append(Request(ref_mel=ref, text_ids=text, duration=int(rng.integers(500, 1020)), seed=i))
 
     srv = BatchServer(engine, mesh=None, batch_size=args.batch_size)
-    srv.run(reqs[: args.batch_size], overlap=1)  # warm
+    # warm with a full pass: compiles every (bucket, batch) graph AND the
+    # per-crop-length fetch slices the request set will hit (a production
+    # server is warm; first-hit compile walls are deployment one-offs)
+    srv.run(reqs, overlap=1)
     t0 = time.perf_counter()
     wavs, lats = srv.run(reqs, overlap=2)
     wall = time.perf_counter() - t0
