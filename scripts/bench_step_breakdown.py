@@ -65,7 +65,7 @@ def bench_step(iters=300):
     print(f"dit_step: {per * 1e3:.3f} ms/step  ({iters} iters)")
 
 
-def bench_attn(block_pairs=((256, 512), (256, 1024), (512, 1024), (512, 512), (256, 256), (128, 512))):
+def bench_attn(block_pairs=((1024, 1024), (1024, 512))):
     from f5_tts_tpu.ops.flash_attention import _flash
 
     b, h, n, dh = 2, 16, 1024, 64
@@ -76,7 +76,7 @@ def bench_attn(block_pairs=((256, 512), (256, 1024), (512, 1024), (512, 512), (2
         def step(x, bq=bq, bk=bk):
             return _flash(x, k, v, lens, bq, bk)
 
-        per = timed_loop(step, q0, 5000)
+        per = timed_loop(step, q0, 3000)
         print(f"flash bq={bq} bk={bk}: {per * 1e6:.1f} us/call")
 
 
