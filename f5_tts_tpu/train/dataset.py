@@ -45,13 +45,19 @@ class CustomDataset:
     def __len__(self):
         return len(self.data)
 
-    def __getitem__(self, index: int) -> dict:
+    def _probe(self, index: int) -> int:
+        """Duration-filter probing (reference dataset.py:129-140): skip to the
+        next row inside the [0.3, 30] s window."""
         lo, hi = self.duration_filter
         while True:
             row = self.data[index]
             if self.preprocessed_mel or lo <= row["duration"] <= hi:
-                break
-            index = (index + 1) % len(self.data)  # probe next (reference :129-140)
+                return index
+            index = (index + 1) % len(self.data)
+
+    def __getitem__(self, index: int) -> dict:
+        index = self._probe(index)
+        row = self.data[index]
         if self.preprocessed_mel:
             mel = np.asarray(row["mel_spec"], dtype=np.float32)
             if mel.shape[0] == self.mel_cfg.n_mel_channels:  # [d, n] -> [n, d]
@@ -75,6 +81,43 @@ class CustomDataset:
         except Exception:
             pass
         return load_wav(path)
+
+    def wav_batch(self, indices) -> list[dict]:
+        """Raw-audio fast path for the in-graph-mel training pipeline: decode
+        + resample a WHOLE batch through the native threaded loader
+        (native/audioio.cpp load_batch_mono, off the GIL), skipping the
+        per-item python mel.  The reference leans on multi-worker DataLoaders
+        for this (model/dataset.py via Accelerate); on a TPU host the mel
+        moves into the train graph instead (ops/mel.log_mel_prepadded).
+
+        Returns ``[{"wav": float32 [S_i], "text": str}, ...]``.
+        """
+        idx = [self._probe(i) for i in indices]
+        rows = [self.data[i] for i in idx]
+        sr_t = self.mel_cfg.target_sample_rate
+        if not self.preprocessed_mel and all("audio_path" in r for r in rows):
+            try:
+                from f5_tts_tpu.audio.native_loader import load_batch, native_available
+
+                if native_available():
+                    max_s = min(max(float(r["duration"]) for r in rows) + 0.5, 35.0)
+                    wavs, lens = load_batch(
+                        [r["audio_path"] for r in rows], sr_t, max_seconds=max_s
+                    )
+                    if all(int(l) >= 0 for l in lens):
+                        return [
+                            {"wav": wavs[i, : int(lens[i])], "text": rows[i]["text"]}
+                            for i in range(len(rows))
+                        ]
+            except Exception:
+                pass
+        out = []
+        for r in rows:
+            wav, sr = self._load(r["audio_path"])
+            if sr != sr_t:
+                wav = resample(wav, sr, sr_t)
+            out.append({"wav": np.asarray(wav, np.float32), "text": r["text"]})
+        return out
 
 
 class HFDataset:
@@ -215,6 +258,49 @@ def collate_batch(items: list[dict], vocab, tokenizer: str, frame_multiple: int 
     else:
         ids = ids[:, :nt]
     return {"mel": mel, "text_ids": ids, "lens": lens}
+
+
+def collate_wav_batch(items: list[dict], vocab, tokenizer: str, mel_cfg: MelConfig,
+                      frame_multiple: int = 256, mel_len: int | None = None,
+                      text_len: int | None = None) -> dict:
+    """Wav-in collate for the IN-GRAPH mel path: the host only reflect-pads
+    and buckets the raw waveforms; the train step extracts log-mel on the
+    accelerator (the reference likewise computes mel inside the model
+    forward — modules.py MelSpec — not in the dataloader).
+
+    Returns {"wav" [b, S] int16, "wav_scale" [b] f32, "text_ids" [b, nt],
+    "lens" [b]} where S = (n-1)*hop + n_fft yields exactly ``n`` frames from
+    ops/mel.log_mel_prepadded and lens match the mel-path collate.  The wav
+    ships int16 + per-row dequant scale — half the host->device bytes (the
+    sources are 16-bit PCM; requantization error ~3e-5 is far below bf16
+    training noise), dequantized in-graph by train_step.
+    """
+    from f5_tts_tpu.infer.pipeline import text_to_ids
+    from f5_tts_tpu.ops.mel import num_frames, stft_pad_amount
+
+    hop = mel_cfg.hop_length
+    frames = np.asarray([num_frames(len(it["wav"]), mel_cfg) for it in items], np.int32)
+    n = mel_len if mel_len is not None else pad_frames_to(int(frames.max()), frame_multiple)
+    pad = stft_pad_amount(mel_cfg)
+    S = (n - 1) * hop + mel_cfg.n_fft
+    wav = np.zeros((len(items), S), np.int16)
+    scale = np.ones((len(items),), np.float32)
+    for i, it in enumerate(items):
+        w = np.asarray(it["wav"], np.float32)
+        if len(w) <= pad:  # reflect-pad needs len > pad
+            w = np.pad(w, (0, pad + 1 - len(w)))
+        p = np.pad(w, pad, mode="reflect")[:S]
+        sc = max(float(np.abs(p).max()), 1.0)  # normalize only if it would clip
+        scale[i] = sc
+        wav[i, : len(p)] = np.round(p / sc * 32767.0).astype(np.int16)
+    lens = np.minimum(frames, n)
+    ids = text_to_ids([it["text"] for it in items], vocab, tokenizer)
+    nt = text_len if text_len is not None else pad_frames_to(ids.shape[1], 64)
+    if ids.shape[1] < nt:
+        ids = np.pad(ids, ((0, 0), (0, nt - ids.shape[1])), constant_values=-1)
+    else:
+        ids = ids[:, :nt]
+    return {"wav": wav, "wav_scale": scale, "text_ids": ids, "lens": lens}
 
 
 def load_dataset(

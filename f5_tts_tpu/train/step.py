@@ -93,25 +93,39 @@ def train_step(
     opt_state,
     ema_params,
     step,
-    batch: dict,  # {"mel": [b,n,d], "text_ids": [b,nt], "lens": [b]}
+    batch: dict,  # {"mel": [b,n,d] | "wav": [b,S], "text_ids": [b,nt], "lens": [b]}
     key: jax.Array,
     arch_cfg,
     opt_cfg: OptimConfig,
     backend: str = "train_auto",  # Pallas flash fwd+bwd on TPU, SDPA elsewhere
     block_scan=None,  # pipeline-parallel block schedule (parallel/pipeline.py)
     activation_constraint=None,  # sequence-parallel sharding pin (parallel/sequence.py)
+    mel_cfg=None,  # MelConfig — required for "wav" batches (in-graph mel)
 ):
     """One optimizer update.  Pure function of its inputs -> jit/pjit over a
-    mesh shards it (batch on data axis => gradient all-reduce via XLA)."""
+    mesh shards it (batch on data axis => gradient all-reduce via XLA).
+
+    A "wav" batch carries host-reflect-padded waveforms (collate_wav_batch)
+    and the log-mel is extracted ON-DEVICE inside this graph — the reference
+    computes mel inside the model forward too (modules.py MelSpec); on a
+    1-CPU TPU host this is what keeps the input pipeline ahead of the chip.
+    """
 
     def loss_fn(p):
+        if "wav" in batch:
+            from f5_tts_tpu.ops.mel import log_mel_prepadded
+
+            wav = batch["wav"]
+            if wav.dtype == jnp.int16:  # collate_wav_batch int16 wire format
+                wav = wav.astype(jnp.float32) * (batch["wav_scale"][:, None] / 32767.0)
+            mel = log_mel_prepadded(wav, mel_cfg)
+        else:
+            mel = batch["mel"]
         if opt_cfg.mixed_precision:
             p = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, p
             )
-            mel = batch["mel"].astype(jnp.bfloat16)
-        else:
-            mel = batch["mel"]
+            mel = mel.astype(jnp.bfloat16)
         return cfm.loss(
             p, arch_cfg, mel, batch["text_ids"], batch["lens"], key, backend=backend,
             valid=batch.get("valid"), block_scan=block_scan,

@@ -48,6 +48,10 @@ class Trainer:
         tensor_parallel: bool = False,  # Megatron-split weights over mesh 'model' axis
         pipeline_microbatches: int = 0,  # >0 + mesh 'pipe' axis => GPipe block schedule
         sequence_parallel: bool = False,  # mesh 'seq' axis => frame-axis activation sharding
+        mel_in_graph: bool = False,  # wav-in batches; log-mel extracted ON-DEVICE
+        # inside the train step (collate_wav_batch + ops/mel.log_mel_prepadded);
+        # host does only C++ threaded decode + pad — the input-pipeline mode
+        # for raw-audio datasets on 1-CPU TPU hosts
     ):
         if grad_accumulation_steps > 1 and opt_cfg.grad_accumulation_steps == 1:
             import dataclasses as _dc
@@ -68,6 +72,7 @@ class Trainer:
         self.log_samples_fn = log_samples_fn
         self.zero1 = zero1
         self.tensor_parallel = tensor_parallel
+        self.mel_in_graph = mel_in_graph
         mesh_axes = set(mesh.axis_names) if mesh is not None else set()
         self.pipeline_microbatches = pipeline_microbatches if "pipe" in mesh_axes else 0
         self.sequence_parallel = sequence_parallel and "seq" in mesh_axes
@@ -125,6 +130,7 @@ class Trainer:
             functools.partial(
                 train_step, arch_cfg=model_cfg.arch, opt_cfg=opt_cfg, backend=step_backend,
                 block_scan=block_scan, activation_constraint=activation_constraint,
+                mel_cfg=model_cfg.mel,
             ),
             donate_argnums=(0, 1, 2, 3),
         )
@@ -303,30 +309,47 @@ class Trainer:
                         max(int(math.ceil(dataset.get_frame_len(i))) for i in idx), 256
                     )
                     start, size = process_batch_slice(len(idx))
-                    items = [dataset[i] for i in idx[start : start + size]]
-                    local = collate_batch(
-                        items, self.vocab, self.model_cfg.tokenizer,
-                        mel_len=n_global, text_len=n_global,
-                    )
+                    if self.mel_in_graph:
+                        from f5_tts_tpu.train.dataset import collate_wav_batch
+
+                        local = collate_wav_batch(
+                            dataset.wav_batch(idx[start : start + size]),
+                            self.vocab, self.model_cfg.tokenizer, self.model_cfg.mel,
+                            mel_len=n_global, text_len=n_global,
+                        )
+                    else:
+                        items = [dataset[i] for i in idx[start : start + size]]
+                        local = collate_batch(
+                            items, self.vocab, self.model_cfg.tokenizer,
+                            mel_len=n_global, text_len=n_global,
+                        )
                     local["valid"] = valid[start : start + size]
                     local["_b_real"] = b_real  # global real rows, for metrics
                     out_q.put(local)
+                elif self.mel_in_graph:
+                    from f5_tts_tpu.train.dataset import collate_wav_batch
+
+                    out_q.put(collate_wav_batch(
+                        dataset.wav_batch(batch_idx), self.vocab,
+                        self.model_cfg.tokenizer, self.model_cfg.mel,
+                    ))
                 else:
                     items = [dataset[i] for i in batch_idx]
                     out_q.put(collate_batch(items, self.vocab, self.model_cfg.tokenizer))
             out_q.put(None)
 
-        for epoch in range(start_epoch, epochs):
-            sampler.set_epoch(epoch)
-            q: "_queue.Queue" = _queue.Queue(maxsize=4)
-            skip_n = skip if epoch == start_epoch else 0
-            producer = _threading.Thread(target=batch_producer, args=(skip_n, q), daemon=True)
-            producer.start()
+        def batch_uploader(q, q2):
+            """Host->device stage: pad + device_put in a dedicated thread so
+            the (possibly slow) H2D transfer of batch N+1 overlaps the device
+            compute of batch N — double-buffered input pipeline (the torch
+            analog is DataLoader pin_memory + non_blocking copies)."""
             while True:
                 batch = q.get()
                 if batch is None:
-                    break
-                b_real = batch["mel"].shape[0]
+                    q2.put(None)
+                    return
+                data_key = "mel" if "mel" in batch else "wav"
+                b_real = batch[data_key].shape[0]
                 if multihost:
                     # producer already sliced/padded/marked validity; assemble
                     # the global array from this process's local shard
@@ -353,6 +376,32 @@ class Trainer:
                     else:
                         batch["valid"] = np.ones(b_real, np.float32)
                     batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+                else:
+                    # single device: start the transfer HERE, off the step
+                    # thread, instead of letting jit block on numpy->device
+                    # conversion at dispatch time
+                    batch = {k: jax.device_put(v) for k, v in batch.items()}
+                if "mel" in batch:
+                    n_frames = int(batch["mel"].shape[1])
+                else:  # wav bucket S = (n-1)*hop + n_fft (collate_wav_batch)
+                    mc = self.model_cfg.mel
+                    n_frames = (batch["wav"].shape[1] - mc.n_fft) // mc.hop_length + 1
+                q2.put((batch, b_real, n_frames))
+
+        for epoch in range(start_epoch, epochs):
+            sampler.set_epoch(epoch)
+            q: "_queue.Queue" = _queue.Queue(maxsize=4)
+            q2: "_queue.Queue" = _queue.Queue(maxsize=2)  # device-side prefetch depth
+            skip_n = skip if epoch == start_epoch else 0
+            producer = _threading.Thread(target=batch_producer, args=(skip_n, q), daemon=True)
+            producer.start()
+            uploader = _threading.Thread(target=batch_uploader, args=(q, q2), daemon=True)
+            uploader.start()
+            while True:
+                item = q2.get()
+                if item is None:
+                    break
+                batch, b_real, n_frames = item
                 key, sub = jax.random.split(key)
                 t0 = time.perf_counter()
                 params, opt_state, ema_params, step, metrics = self._step_fn(
@@ -368,7 +417,7 @@ class Trainer:
                         "update": update, "micro_step": micro, "epoch": epoch, "loss": loss,
                         "grad_norm": float(metrics["grad_norm"]),
                         "step_time_s": time.perf_counter() - t0,
-                        "frames": int(b_real * batch["mel"].shape[1]),
+                        "frames": int(b_real * n_frames),
                     })
                 state = {"params": params, "opt_state": opt_state, "ema": ema_params, "step": step}
                 if did_update and update % self.save_per_updates == 0:
