@@ -1,10 +1,10 @@
 """ASR fallback for empty ref_text (reference utils_infer.py:153-184 uses
 openai/whisper-large-v3-turbo via transformers).
 
-transformers is installed in this build but model weights must be local
-(zero egress): point $F5_TTS_TPU_WHISPER or ``model_path`` at a downloaded
-Whisper snapshot directory.  The returned callable plugs into
-``preprocess_ref_audio_text(transcribe_fn=...)``.
+Model resolution is automatic like the reference's lazy init: explicit
+``model_path`` -> $F5_TTS_TPU_WHISPER -> local HF cache snapshot -> hub
+download when the network is reachable (utils/hub.py).  The returned callable
+plugs into ``preprocess_ref_audio_text(transcribe_fn=...)``.
 """
 
 from __future__ import annotations
@@ -16,13 +16,27 @@ import numpy as np
 _pipe = None
 
 
+def whisper_available(model_path: str | None = None) -> bool:
+    """True when an ASR model is resolvable without manual wiring."""
+    from f5_tts_tpu.utils.hub import resolve_whisper
+
+    return resolve_whisper(model_path) is not None
+
+
 def make_whisper_transcriber(model_path: str | None = None, language: str | None = None):
-    """Returns transcribe_fn(wav: np.ndarray, sr: int) -> str."""
-    model_path = model_path or os.environ.get("F5_TTS_TPU_WHISPER")
+    """Returns transcribe_fn(wav: np.ndarray, sr: int) -> str.
+
+    Model resolution (reference lazy-loads by name, utils_infer.py:153-184):
+    explicit ``model_path`` -> $F5_TTS_TPU_WHISPER -> local HF cache snapshot
+    of openai/whisper-large-v3-turbo -> (if online) hub download.
+    """
+    from f5_tts_tpu.utils.hub import WHISPER_REPO, resolve_whisper
+
+    model_path = resolve_whisper(model_path)
     if not model_path:
         raise RuntimeError(
-            "no Whisper model path: set $F5_TTS_TPU_WHISPER to a local snapshot"
-            " of openai/whisper-large-v3-turbo (or pass model_path)"
+            f"no Whisper model: populate the local HF cache with {WHISPER_REPO},"
+            " set $F5_TTS_TPU_WHISPER to a local snapshot, or pass model_path"
         )
     global _pipe
     if _pipe is None:

@@ -3,8 +3,9 @@
 and its (wav, sr, spec) return contract are preserved.
 
 Differences driven by the TPU/zero-egress environment:
-- checkpoints are local files (reference auto-downloads from HF Hub); both the
-  released .safetensors/.pt torch formats and native .npz snapshots load;
+- model names resolve through the local HF cache first (utils/hub.py), then a
+  hub download when the network is reachable; both the released
+  .safetensors/.pt torch formats and native .npz snapshots load;
 - ``device`` selects a jax device ("tpu"/"cpu"); dtype defaults to bfloat16 on
   TPU, float32 elsewhere (reference uses fp16 on CUDA, utils_infer.py:203).
 """
@@ -36,6 +37,7 @@ from f5_tts_tpu.models import configs as configs_mod
 from f5_tts_tpu.models.configs import MODEL_CONFIGS, ModelConfig, with_vocab_size
 from f5_tts_tpu.text.tokenizer import get_tokenizer
 from f5_tts_tpu.utils import ckpt as ckpt_util
+from f5_tts_tpu.utils import hub
 
 
 class F5TTS:
@@ -48,7 +50,7 @@ class F5TTS:
         use_ema: bool = True,
         vocoder_local_path: str | None = None,
         device: str | None = None,
-        hf_cache_dir: str | None = None,  # accepted for surface compat; unused (no egress)
+        hf_cache_dir: str | None = None,  # local HF cache for name->file resolution
         dtype=None,
         nfe_step: int = NFE_STEP,
         init_random: bool = False,
@@ -82,6 +84,19 @@ class F5TTS:
         from f5_tts_tpu.models.backbones import get_backbone
 
         backbone = get_backbone(model_cfg.arch)
+        if not ckpt_file and not init_random:
+            # reference api.py:78-81 resolves the model name to a hub file;
+            # here: local HF cache first, network only if reachable (utils/hub.py)
+            ckpt_file = hub.resolve_checkpoint(
+                model, model_cfg.mel.mel_spec_type, hf_cache_dir
+            ) or ""
+        elif ckpt_file.startswith("hf://"):  # reference infer_cli.py:292-293
+            resolved = hub.resolve_hf_file(*hub.parse_hf_uri(ckpt_file), hf_cache_dir)
+            if resolved is None:
+                raise FileNotFoundError(
+                    f"{ckpt_file} not in the local HF cache and not downloadable"
+                )
+            ckpt_file = resolved
         if ckpt_file:
             if ckpt_file.endswith(".npz"):
                 template = backbone.init(jax.random.PRNGKey(0), model_cfg.arch)
@@ -93,12 +108,17 @@ class F5TTS:
             dit_params = backbone.init(jax.random.PRNGKey(0), model_cfg.arch)
         else:
             raise ValueError(
-                "ckpt_file is required (no-egress build cannot download weights);"
-                " pass init_random=True for smoke testing."
+                f"no checkpoint: {model} was not found in the local HF cache and"
+                " could not be downloaded. Pass ckpt_file=, populate the HF cache"
+                f" (repo {hub.model_hub_spec(model, model_cfg.mel.mel_spec_type)[0]}),"
+                " or pass init_random=True for smoke testing."
             )
 
         # vocoder weights (backend from the model's mel_spec_type)
         vocoder_type = model_cfg.mel.mel_spec_type
+        if not vocoder_local_path and not init_random:
+            # reference utils_infer.py:108-146 downloads the vocoder by name
+            vocoder_local_path = hub.resolve_vocoder(vocoder_type, hf_cache_dir)
         if vocoder_local_path:
             if vocoder_type == "bigvgan":
                 from f5_tts_tpu.models import bigvgan as bigvgan_model
@@ -193,11 +213,11 @@ class F5TTS:
 
         transcribe_fn = None
         if not ref_text.strip():
-            import os as _os
+            # reference lazy-loads whisper automatically on empty ref_text
+            # (utils_infer.py:153-184); resolve env var / HF cache / download
+            from f5_tts_tpu.audio.asr import make_whisper_transcriber, whisper_available
 
-            if _os.environ.get("F5_TTS_TPU_WHISPER"):
-                from f5_tts_tpu.audio.asr import make_whisper_transcriber
-
+            if whisper_available():
                 transcribe_fn = make_whisper_transcriber()
         (wav, sr), ref_text = preprocess_ref_audio_text(
             ref_file, ref_text, show_info=show_info, transcribe_fn=transcribe_fn

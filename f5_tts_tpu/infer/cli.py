@@ -1,8 +1,9 @@
 """f5-tts_infer-cli — command-line inference (reference src/f5_tts/infer/infer_cli.py).
 
 Flags override the TOML config which overrides defaults; supports multi-voice
-``[voice]`` tags in gen_text and per-voice TOML tables.  No HF auto-download
-(zero-egress): --ckpt_file / --vocoder_local_path point at local weights.
+``[voice]`` tags in gen_text and per-voice TOML tables.  Model names and
+``hf://`` paths resolve via the local HF cache (then a download when online,
+utils/hub.py); --ckpt_file / --vocoder_local_path override with local weights.
 """
 
 from __future__ import annotations

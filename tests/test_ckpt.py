@@ -105,3 +105,64 @@ def test_use_ema_toggle_selects_weights(tmp_path):
     got_raw = CK.dit_params_from_state(CK.load_torch_state(path, use_ema=False), SMALL)
     assert trees_equal(got_ema, params_b)
     assert trees_equal(got_raw, params_a)
+
+
+# ---------------------------------------------------- released-weights runbook
+def _fake_release(tmp_path, fmt: str):
+    """Save a randomized model in the reference's EXACT release layouts so the
+    released-checkpoint runbook (scripts/parity_vs_released.py) can be proven
+    end-to-end without the weights themselves: .safetensors = EMA-only with
+    ema_model. prefixes; .pt = trainer dict with raw + EMA states and EMA
+    bookkeeping keys (reference trainer.py save / utils_infer.py:190-232)."""
+    import json
+
+    from f5_tts_tpu.models.configs import from_yaml_dict, with_vocab_size
+    from f5_tts_tpu.text.tokenizer import get_tokenizer
+
+    arch = dict(dim=64, depth=3, heads=4, dim_head=16, ff_mult=2, mel_dim=10,
+                text_dim=24, conv_layers=2, max_pos=128)
+    vocab_path = str(tmp_path / "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write(" \n" + "\n".join(chr(ord("a") + i) for i in range(25)) + "\n")
+    model_cfg = from_yaml_dict({"name": "tiny", "backbone": "DiT", "arch": dict(arch)})
+    _, vocab_size = get_tokenizer(vocab_path, model_cfg.tokenizer)
+    cfg = with_vocab_size(model_cfg, vocab_size).arch
+    params = make_params(cfg, seed=7)  # randomized AdaLN gates — non-vacuous
+    state = CK.dit_params_to_state(params, cfg, prefix="transformer.")
+    if fmt == "safetensors":
+        path = str(tmp_path / "model_1250000.safetensors")
+        CK.export_safetensors(params, cfg, path, ema_prefix=True)
+    else:
+        sd = {("ema_model." + k): torch.from_numpy(np.array(v)) for k, v in state.items()}
+        sd["ema_model.initted"] = torch.tensor(True)
+        sd["ema_model.step"] = torch.tensor(1250000)
+        raw = {k: torch.from_numpy(np.array(v)) for k, v in state.items()}
+        path = str(tmp_path / "model_last.pt")
+        torch.save({"ema_model_state_dict": sd, "model_state_dict": raw,
+                    "update": 1250000}, path)
+    return path, vocab_path, json.dumps(arch)
+
+
+def test_parity_vs_released_runbook_safetensors(tmp_path):
+    """The released-weights runbook runs GREEN end-to-end on a fake release:
+    the only unknown left when real weights arrive is the weights themselves
+    (round-2 verdict missing #1 / next #6)."""
+    import importlib
+
+    mod = importlib.import_module("scripts.parity_vs_released")
+    path, vocab, arch_json = _fake_release(tmp_path, "safetensors")
+    rc = mod.main(["--ckpt_file", path, "--model_cfg", arch_json,
+                   "--vocab_file", vocab, "--seq_len", "64", "--text_len", "16",
+                   "--nfe", "2"])
+    assert rc == 0
+
+
+def test_parity_vs_released_runbook_pt(tmp_path):
+    import importlib
+
+    mod = importlib.import_module("scripts.parity_vs_released")
+    path, vocab, arch_json = _fake_release(tmp_path, "pt")
+    rc = mod.main(["--ckpt_file", path, "--model_cfg", arch_json,
+                   "--vocab_file", vocab, "--seq_len", "64", "--text_len", "16",
+                   "--nfe", "2"])
+    assert rc == 0
