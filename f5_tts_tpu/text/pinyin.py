@@ -7,9 +7,10 @@ pypinyin TONE3 with tone sandhi).  TPU build uses:
 - pinyin lookup backends, in priority order:
     1. ``pypinyin`` (lazy_pinyin, Style.TONE3, tone_sandhi=True) if installed —
        exact reference parity;
-    2. the BUNDLED table (data/pinyin_table.tsv, ~4.4k chars + ~400 polyphone
-       word overrides curated in scripts/pinyin_data.py, every syllable
-       validated against the Emilia vocab) or a user-supplied file via
+    2. the BUNDLED table (data/pinyin_table.tsv, ~5.8k chars + ~400 polyphone
+       word overrides curated in scripts/pinyin_data{,_ext}.py, every syllable
+       validated against the Emilia vocab; 0.084% frequency-weighted
+       identity-fallback rate on the jieba dictionary corpus) or a user-supplied file via
        $F5_TTS_TPU_PINYIN_TABLE / ``set_pinyin_table``; tone sandhi (3-3,
        不, 一 — the rules pypinyin's tone_sandhi applies per word) runs
        natively, so zh G2P works out-of-the-box with no optional deps;

@@ -89,3 +89,55 @@ def test_pinyin_tokens_map_into_vocab():
     assert (ids >= 0).all()  # all EN chars exist in the Emilia vocab
     # vocab contains pinyin syllables used by the reference checkpoints
     assert "ni3" in vocab and "hao3" in vocab
+
+
+def test_fallback_rate_on_jieba_corpus():
+    """VERDICT round-2 item 7: frequency-weighted identity-fallback rate of the
+    bundled table, measured over the jieba dictionary corpus, must be <0.1%.
+
+    jieba's dict.txt contains GBK-mojibake junk entries (UTF-8 bytes of common
+    chars/punctuation mis-decoded as GBK, e.g. 的->鐨, ：->锛) with inflated
+    frequencies; those are excluded by a byte-range heuristic (a char whose GBK
+    encoding consists solely of UTF-8 CJK lead/continuation bytes)."""
+    import os
+
+    import jieba
+
+    from f5_tts_tpu.text import pinyin as P
+
+    table_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "f5_tts_tpu",
+        "data",
+        "pinyin_table.tsv",
+    )
+    table = {}
+    with open(table_path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                table[parts[0]] = parts[1]
+
+    def moji_suspect(ch):
+        try:
+            bs = ch.encode("gbk")
+        except UnicodeEncodeError:
+            return False
+        return all(0x80 <= b <= 0xBF or 0xE0 <= b <= 0xEF for b in bs)
+
+    dict_path = os.path.join(os.path.dirname(jieba.__file__), "dict.txt")
+    tot_w = miss_w = 0.0
+    with open(dict_path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            freq = float(parts[1])
+            for ch in parts[0]:
+                if not P.is_chinese(ch) or moji_suspect(ch):
+                    continue
+                tot_w += freq
+                if ch not in table:
+                    miss_w += freq
+    rate = miss_w / tot_w
+    assert rate < 0.001, f"freq-weighted fallback rate {rate:.4%} >= 0.1%"
