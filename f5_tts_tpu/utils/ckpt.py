@@ -349,7 +349,14 @@ def params_from_state(state: dict[str, np.ndarray], arch_cfg):
 
 
 def vocos_params_from_state(state: dict[str, np.ndarray], num_layers: int = 8):
-    """charactr/vocos-mel-24khz state dict -> models.vocos param pytree."""
+    """charactr/vocos-mel-24khz state dict -> models.vocos param pytree.
+
+    Only backbone/head keys are read; ``feature_extractor.*`` entries (absent
+    from released mel bundles, present-but-partial in Encodec bundles — the
+    case reference utils_infer.py:110-124 special-cases by back-filling
+    ``feature_extractor.encodec.*`` before a strict load) are ignored by
+    construction: the feature extractor is an encode-side module never used
+    for mel->wav decoding."""
     blocks = []
     for i in range(num_layers):
         b = f"backbone.convnext.{i}"

@@ -79,3 +79,55 @@ def test_padded_decode_matches_exact_length_decode():
     rf_frames = 3 * (cfg.num_layers + 1) + cfg.n_fft // cfg.hop_length
     tail = rf_frames * cfg.hop_length
     np.testing.assert_allclose(padded[:-tail], exact[:-tail], atol=1e-4)
+
+
+def test_vocos_converter_ignores_feature_extractor_keys():
+    """Encodec-bundle edge case (reference utils_infer.py:110-124): Vocos
+    checkpoints whose feature extractor is EncodecFeatures ship partial
+    ``feature_extractor.*`` key sets, which the reference must back-fill
+    before a strict ``load_state_dict``. Our converter reads only
+    backbone/head keys, so any feature_extractor payload — partial, full, or
+    absent — converts identically."""
+    from f5_tts_tpu.utils import ckpt as C
+
+    cfg = V.VocosConfig(input_channels=20, dim=64, intermediate_dim=128, num_layers=2)
+    params = V.init(jax.random.PRNGKey(7), cfg)
+
+    # fabricate the torch-layout state dict for these params
+    state = {}
+
+    def put_conv(name, p):
+        state[f"{name}.weight"] = np.transpose(np.asarray(p["kernel"]), (2, 1, 0))
+        if "bias" in p:
+            state[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def put_lin(name, p):
+        state[f"{name}.weight"] = np.asarray(p["kernel"]).T
+        if "bias" in p:
+            state[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def put_ln(name, p):
+        state[f"{name}.weight"] = np.asarray(p["weight"])
+        state[f"{name}.bias"] = np.asarray(p["bias"])
+
+    put_conv("backbone.embed", params["embed"])
+    put_ln("backbone.norm", params["norm"])
+    for i, bp in enumerate(params["blocks"]):
+        b = f"backbone.convnext.{i}"
+        put_conv(f"{b}.dwconv", bp["dwconv"])
+        put_ln(f"{b}.norm", bp["norm"])
+        put_lin(f"{b}.pwconv1", bp["pwconv1"])
+        put_lin(f"{b}.pwconv2", bp["pwconv2"])
+        state[f"{b}.gamma"] = np.asarray(bp["gamma"])
+    put_ln("backbone.final_layer_norm", params["final_norm"])
+    put_lin("head.out", params["head"])
+
+    # extra encode-side keys, as in vocos-encodec bundles
+    state["feature_extractor.encodec.encoder.layers.0.conv.conv.weight"] = np.zeros((4, 1, 7), np.float32)
+    state["feature_extractor.encodec.quantizer.vq.layers.0._codebook.embed"] = np.zeros((16, 4), np.float32)
+
+    got = C.vocos_params_from_state(state, num_layers=cfg.num_layers)
+    mel = np.random.default_rng(11).standard_normal((1, 13, 20)).astype(np.float32)
+    a = np.asarray(V.decode(params, jnp.asarray(mel), cfg))
+    b = np.asarray(V.decode(got, jnp.asarray(mel), cfg))
+    np.testing.assert_allclose(a, b, atol=1e-6)
