@@ -129,23 +129,31 @@ def _joint_attention(p, xn, cn, heads, rope_a, rope_t, mask, c_mask, context_pre
     out = None
     if attn_mask_enabled and mask is not None:
         cm = c_mask if c_mask is not None else jnp.ones((b, nt), bool)
-        if backend in ("flash", "auto"):
+        if backend in ("flash", "auto", "flash_train", "train_auto"):
             # both segment masks are prefixes (lens_to_mask audio, trailing -1
-            # text padding), so the two-segment Pallas kernel applies
+            # text padding), so the two-segment Pallas kernel applies;
+            # training backends take the differentiable custom-VJP variant
             from f5_tts_tpu.ops.flash_attention import (
-                flash_attention_two_segment, flash_seg_supported)
+                flash_attention_two_segment, flash_attention_two_segment_trainable,
+                flash_seg_supported)
 
-            if backend == "flash" or flash_seg_supported(Q):
-                out = flash_attention_two_segment(
-                    Q, K, V, jnp.sum(mask, axis=-1), jnp.sum(cm, axis=-1), seg=n)
+            if backend in ("flash", "flash_train") or flash_seg_supported(Q):
+                fn = (flash_attention_two_segment_trainable
+                      if backend in ("flash_train", "train_auto")
+                      else flash_attention_two_segment)
+                out = fn(Q, K, V, jnp.sum(mask, axis=-1), jnp.sum(cm, axis=-1), seg=n)
         if out is None:
             out = sdpa(Q, K, V, jnp.concatenate([mask, cm], axis=1))
     else:
-        if backend in ("flash", "auto"):
-            from f5_tts_tpu.ops.flash_attention import flash_attention, flash_supported
+        if backend in ("flash", "auto", "flash_train", "train_auto"):
+            from f5_tts_tpu.ops.flash_attention import (
+                flash_attention, flash_attention_trainable, flash_supported)
 
-            if backend == "flash" or flash_supported(Q):
-                out = flash_attention(Q, K, V, None)
+            if backend in ("flash", "flash_train") or flash_supported(Q):
+                fn = (flash_attention_trainable
+                      if backend in ("flash_train", "train_auto")
+                      else flash_attention)
+                out = fn(Q, K, V, None)
         if out is None:
             out = sdpa(Q, K, V, None)
     out = out.transpose(0, 2, 1, 3).reshape(b, n + nt, -1)

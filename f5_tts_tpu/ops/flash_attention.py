@@ -31,7 +31,19 @@ def _out_struct(x, shape, dtype=None):
     return jax.ShapeDtypeStruct(shape, dtype or x.dtype, vma=jax.typeof(x).vma)
 
 
-def _kernel_fwd_stats(lens_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, block_k, n_kv, heads):
+def _valid_cols(lens_ref, b, col, seg):
+    """Key-column validity mask. ``seg=None``: single valid prefix
+    [0, lens[b]).  Static ``seg``: the two-segment MMDiT joint-attention mask
+    — audio prefix [0, lens[b, 0]) plus text prefix [seg, seg + lens[b, 1])
+    over the concatenated [audio, text] sequence (reference
+    modules.py:563-705)."""
+    if seg is None:
+        return col < lens_ref[b]
+    return (col < lens_ref[b, 0]) | ((col >= seg) & (col < seg + lens_ref[b, 1]))
+
+
+def _kernel_fwd_stats(lens_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, block_k, n_kv, heads,
+                      seg=None):
     """Forward with logsumexp stats output (for the custom-vjp backward).
 
     Runs the same exp2-domain softmax with folded q prescale as the serving
@@ -40,7 +52,6 @@ def _kernel_fwd_stats(lens_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, blo
     log-space merge and the backward kernels both depend on that."""
     bh = pl.program_id(0)
     b = bh // heads
-    kv_len = lens_ref[b]
     q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
     bq, dh = q.shape
     m = jnp.full((bq, 1), NEG_BIG, jnp.float32)  # log2-domain running max
@@ -52,7 +63,7 @@ def _kernel_fwd_stats(lens_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, blo
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
-        s = jnp.where(col < kv_len, s, NEG_BIG)
+        s = jnp.where(_valid_cols(lens_ref, b, col, seg), s, NEG_BIG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp2(s - m_new)
         alpha = jnp.exp2(m - m_new)
@@ -68,7 +79,7 @@ def _kernel_fwd_stats(lens_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, blo
 
 
 def _kernel_dq(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
-               *, scale, block_k, n_kv, heads):
+               *, scale, block_k, n_kv, heads, seg=None):
     """dq_i = scale * sum_j ds_ij k_j;  ds = p * (do k v^T - D).
 
     p recomputes through the exp2 domain: q carries the folded prescale so
@@ -76,7 +87,6 @@ def _kernel_dq(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
     per q block (p = exp2(s2 - L*log2e) == exp(s - L))."""
     bh = pl.program_id(0)
     b = bh // heads
-    kv_len = lens_ref[b]
     q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
     do = do_ref[0].astype(jnp.bfloat16)
     L2 = L_ref[0, 0][:, None] * LOG2E  # [bq, 1] log2-domain logsumexp
@@ -89,7 +99,7 @@ def _kernel_dq(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
-        s = jnp.where(col < kv_len, s, NEG_BIG)
+        s = jnp.where(_valid_cols(lens_ref, b, col, seg), s, NEG_BIG)
         p = jnp.exp2(s - L2)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -100,16 +110,16 @@ def _kernel_dq(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dq_ref,
 
 
 def _kernel_dkv(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dk_ref, dv_ref,
-                *, scale, block_q, n_q, heads):
+                *, scale, block_q, n_q, heads, seg=None):
     """Per key block: dv_j = sum_i p_ij^T do_i;  dk_j = scale * sum_i ds_ij^T q_i."""
     bh = pl.program_id(0)
     b = bh // heads
-    kv_len = lens_ref[b]
     k = k_ref[0].astype(jnp.bfloat16)  # [bk, dh]
     v = v_ref[0].astype(jnp.bfloat16)
     bk, dh = k.shape
     jk = pl.program_id(1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + jk * bk
+    valid = _valid_cols(lens_ref, b, col, seg)
     dk = jnp.zeros((bk, dh), jnp.float32)
     dv = jnp.zeros((bk, dh), jnp.float32)
     for i in range(n_q // block_q):
@@ -124,7 +134,7 @@ def _kernel_dkv(lens_ref, q_ref, k_ref, v_ref, do_ref, L_ref, D_ref, dk_ref, dv_
         D = D_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = jnp.where(col < kv_len, s, NEG_BIG)
+        s = jnp.where(valid, s, NEG_BIG)
         p = jnp.exp2(s - L2)  # [bq, bk] == exp(s_nat - L)
         dv = dv + jax.lax.dot_general(p.astype(jnp.bfloat16), do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -219,12 +229,13 @@ def _flash(q, k, v, lens, block_q: int, block_k: int):
     return out.reshape(b, h, n, dh)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_fwd_stats(q, k, v, lens, block_q: int, block_k: int):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "seg"))
+def _flash_fwd_stats(q, k, v, lens, block_q: int, block_k: int, seg=None):
     b, h, n, dh = q.shape
     scale = dh**-0.5
     qf, kf, vf = (x.reshape(b * h, n, dh) for x in (q, k, v))
-    kernel = functools.partial(_kernel_fwd_stats, scale=scale, block_k=block_k, n_kv=n, heads=h)
+    kernel = functools.partial(_kernel_fwd_stats, scale=scale, block_k=block_k, n_kv=n, heads=h,
+                               seg=seg)
     out, L = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -249,13 +260,13 @@ def _flash_fwd_stats(q, k, v, lens, block_q: int, block_k: int):
     return out.reshape(b, h, n, dh), L
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_bwd(q, k, v, do, L, D, lens, block_q: int, block_k: int):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "seg"))
+def _flash_bwd(q, k, v, do, L, D, lens, block_q: int, block_k: int, seg=None):
     b, h, n, dh = q.shape
     scale = dh**-0.5
     qf, kf, vf, dof = (x.reshape(b * h, n, dh) for x in (q, k, v, do))
     dq = pl.pallas_call(
-        functools.partial(_kernel_dq, scale=scale, block_k=block_k, n_kv=n, heads=h),
+        functools.partial(_kernel_dq, scale=scale, block_k=block_k, n_kv=n, heads=h, seg=seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b * h, n // block_q),
@@ -273,7 +284,7 @@ def _flash_bwd(q, k, v, do, L, D, lens, block_q: int, block_k: int):
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
     )(lens, qf, kf, vf, dof, L, D)
     dk, dv = pl.pallas_call(
-        functools.partial(_kernel_dkv, scale=scale, block_q=block_q, n_q=n, heads=h),
+        functools.partial(_kernel_dkv, scale=scale, block_q=block_q, n_q=n, heads=h, seg=seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b * h, n // block_k),
@@ -299,22 +310,24 @@ def _flash_bwd(q, k, v, do, L, D, lens, block_q: int, block_k: int):
     return dq.reshape(b, h, n, dh), dk.reshape(b, h, n, dh), dv.reshape(b, h, n, dh)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_diff(q, k, v, lens, block_q, block_k):
-    return _flash(q, k, v, lens, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_diff(q, k, v, lens, block_q, block_k, seg):
+    if seg is None:
+        return _flash(q, k, v, lens, block_q, block_k)
+    return _flash_seg(q, k, v, lens, seg, block_q, block_k)
 
 
-def _flash_diff_fwd(q, k, v, lens, block_q, block_k):
-    out, L = _flash_fwd_stats(q, k, v, lens, block_q, block_k)
+def _flash_diff_fwd(q, k, v, lens, block_q, block_k, seg):
+    out, L = _flash_fwd_stats(q, k, v, lens, block_q, block_k, seg)
     return out, (q, k, v, lens, out, L)
 
 
-def _flash_diff_bwd(block_q, block_k, res, do):
+def _flash_diff_bwd(block_q, block_k, seg, res, do):
     q, k, v, lens, out, L = res
     b, h, n, dh = q.shape
     # D_i = rowsum(do_i * o_i) — the softmax-jacobian correction term
     D = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1).reshape(b * h, 1, n)
-    dq, dk, dv = _flash_bwd(q, k, v, do, L, D, lens, block_q, block_k)
+    dq, dk, dv = _flash_bwd(q, k, v, do, L, D, lens, block_q, block_k, seg)
     return dq, dk, dv, jnp.zeros(lens.shape, dtype=jax.dtypes.float0)
 
 
@@ -388,7 +401,18 @@ def flash_attention_trainable(q, k, v, mask=None, block_q: int = 512, block_k: i
     the caller re-masks the attention output (models/layers.py mha does)."""
     b, h, n, dh = q.shape
     lens = jnp.full((b,), n, jnp.int32) if mask is None else jnp.sum(mask, axis=-1).astype(jnp.int32)
-    return _flash_diff(q, k, v, lens, _pick_block(n, block_q), _pick_block(n, block_k))
+    return _flash_diff(q, k, v, lens, _pick_block(n, block_q), _pick_block(n, block_k), None)
+
+
+def flash_attention_two_segment_trainable(q, k, v, lens_a, lens_t, seg: int,
+                                          block_q: int = 512, block_k: int = 512):
+    """Differentiable two-segment flash attention (MMDiT joint-attention
+    training path; custom VJP with Pallas fwd+bwd kernels sharing the
+    single-prefix machinery via the static ``seg`` mask mode).  Padding-query
+    rows must get zero upstream gradient — models/mmdit.py re-masks xo/co."""
+    b, h, n, dh = q.shape
+    lens2 = jnp.stack([lens_a.astype(jnp.int32), lens_t.astype(jnp.int32)], axis=1)
+    return _flash_diff(q, k, v, lens2, _pick_block(n, block_q), _pick_block(n, block_k), seg)
 
 
 # --------------------------------------------------------- two-segment mask

@@ -257,3 +257,91 @@ def test_flash_trainable_grads_match_sdpa():
     for a, b_ in zip(gf, gs):
         err = np.abs(np.asarray(a) - np.asarray(b_)).mean()
         assert err < 5e-3, err
+
+
+def test_two_segment_trainable_grads_match_sdpa():
+    """MMDiT training path (VERDICT r2 weak #6): the differentiable
+    two-segment kernel's fwd AND grads must match SDPA with the equivalent
+    [audio-prefix | text-prefix-at-seg] boolean mask."""
+    import jax
+    from f5_tts_tpu.ops.flash_attention import flash_attention_two_segment_trainable
+
+    rng = np.random.default_rng(13)
+    b, h, dh = 2, 2, 64
+    n_audio, n_text = 256, 128
+    n = n_audio + n_text
+    q = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, dh)).astype(np.float32))
+    lens_a = jnp.asarray([256, 180])
+    lens_t = jnp.asarray([128, 40])
+    pos = np.arange(n)
+    mask = (pos[None, :] < np.asarray(lens_a)[:, None]) | (
+        (pos[None, :] >= n_audio)
+        & (pos[None, :] < n_audio + np.asarray(lens_t)[:, None])
+    )
+    mm = jnp.asarray(mask)[:, None, :, None]
+
+    out_f = np.asarray(flash_attention_two_segment_trainable(
+        q, k, v, lens_a, lens_t, seg=n_audio, block_q=128, block_k=128))
+    out_s = np.asarray(sdpa(q, k, v, jnp.asarray(mask)))
+    np.testing.assert_allclose(out_f * np.asarray(mm), out_s * np.asarray(mm), atol=2e-2)
+
+    def loss_f(q_, k_, v_):
+        o = flash_attention_two_segment_trainable(
+            q_, k_, v_, lens_a, lens_t, seg=n_audio, block_q=128, block_k=128)
+        return ((o * mm) ** 2).sum()
+
+    def loss_s(q_, k_, v_):
+        return ((sdpa(q_, k_, v_, jnp.asarray(mask)) * mm) ** 2).sum()
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gs):
+        err = np.abs(np.asarray(a) - np.asarray(b_)).mean()
+        assert err < 5e-3, err
+
+
+def test_mmdit_train_backend_grads_match_sdpa():
+    """End-to-end: MMDiT forward under backend=flash_train must match sdpa in
+    value and parameter gradients (joint attention on the trainable
+    two-segment kernel)."""
+    import jax as _jax
+
+    from f5_tts_tpu.models import layers as L
+    from f5_tts_tpu.models import mmdit as M
+    from tests.test_mmdit import SMALL as MM_SMALL
+
+    cfg = MM_SMALL
+    params = M.init(_jax.random.PRNGKey(2), cfg)
+    ks = _jax.random.split(_jax.random.PRNGKey(8), cfg.depth - 1)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[{"x": L.adaln_init(k, cfg.dim, zero=False),
+           "c": L.adaln_init(k, cfg.dim, zero=False)} for k in ks])
+    params["blocks"]["attn_norm_x"] = stacked["x"]
+    params["blocks"]["attn_norm_c"] = stacked["c"]
+    rng = np.random.default_rng(6)
+    b, n, nt = 2, 128, 64
+    x = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    text = np.full((b, nt), -1, np.int32)
+    text[0, :40] = rng.integers(0, cfg.text_num_embeds, 40)
+    text[1, :22] = rng.integers(0, cfg.text_num_embeds, 22)
+    time = jnp.asarray([0.3, 0.8], jnp.float32)
+    mask = jnp.asarray(np.arange(n)[None, :] < np.asarray([[n], [90]]))
+
+    def loss(p, backend):
+        o = M.forward_with_text(p, cfg, x, cond, jnp.asarray(text), time,
+                                mask=mask, backend=backend, attn_mask_enabled=True)
+        return ((o * mask[:, :, None]) ** 2).mean()
+
+    vs, gs = _jax.value_and_grad(lambda p: loss(p, "sdpa"))(params)
+    vf, gf = _jax.value_and_grad(lambda p: loss(p, "flash_train"))(params)
+    np.testing.assert_allclose(float(vf), float(vs), rtol=1e-3)
+    flat_s = jax.tree.leaves(gs)
+    flat_f = jax.tree.leaves(gf)
+    for a, b_ in zip(flat_f, flat_s):
+        denom = np.abs(np.asarray(b_)).mean() + 1e-6
+        err = np.abs(np.asarray(a) - np.asarray(b_)).mean() / denom
+        assert err < 5e-2, err
