@@ -240,6 +240,11 @@ def loss(
     valid: jax.Array | None = None,  # [b] 1=real row, 0=DP-padding duplicate
     block_scan=None,  # pipeline-parallel block schedule (parallel/pipeline.py)
     activation_constraint=None,  # sequence-parallel sharding pin (parallel/sequence.py)
+    inject: dict | None = None,  # deterministic overrides for the random draws
+    # (keys: "x0" [b,n,d], "time" [b], "span_mask" [b,n] bool, "drop_audio"
+    # bool, "drop_both" bool) — used by direct-parity tests against the
+    # reference's CFM.forward (tests/test_reference_parity.py) and for
+    # reproducible debugging; None draws from ``key`` as usual
 ):
     """CFM training loss (cfm.py:231-302): flow-matching MSE over a random
     infilling span, with CFG condition drops.
@@ -254,13 +259,21 @@ def loss(
     """
     b, n, d = mel.shape
     k_frac, k_x0, k_t, k_drop1, k_drop2 = jax.random.split(key, 5)
+    inject = inject or {}
 
     mask = lens_to_mask(lens, n)
-    rand_span_mask = mask_from_frac_lengths(k_frac, lens, n, frac_lengths_mask) & mask
+    rand_span_mask = (
+        inject["span_mask"] if "span_mask" in inject
+        else mask_from_frac_lengths(k_frac, lens, n, frac_lengths_mask)
+    ) & mask
 
     x1 = mel
-    x0 = jax.random.normal(k_x0, x1.shape, dtype=x1.dtype)
-    time = jax.random.uniform(k_t, (b,), dtype=x1.dtype)
+    x0 = inject.get("x0")
+    if x0 is None:
+        x0 = jax.random.normal(k_x0, x1.shape, dtype=x1.dtype)
+    time = inject.get("time")
+    if time is None:
+        time = jax.random.uniform(k_t, (b,), dtype=x1.dtype)
 
     t = time[:, None, None]
     phi = (1.0 - t) * x0 + t * x1
@@ -268,8 +281,12 @@ def loss(
 
     cond = jnp.where(rand_span_mask[..., None], 0.0, x1)
 
-    drop_audio = jax.random.bernoulli(k_drop1, audio_drop_prob)
-    drop_both = jax.random.bernoulli(k_drop2, cond_drop_prob)
+    drop_audio = inject.get("drop_audio")
+    if drop_audio is None:
+        drop_audio = jax.random.bernoulli(k_drop1, audio_drop_prob)
+    drop_both = inject.get("drop_both")
+    if drop_both is None:
+        drop_both = jax.random.bernoulli(k_drop2, cond_drop_prob)
     drop_audio = drop_audio | drop_both
 
     # traced drops: zero the conditioning inputs (equivalent to the reference's

@@ -182,6 +182,73 @@ def test_cfm_sample_matches_reference_code(use_epss):
     assert np.abs(got[:, gen] - want[:, gen]).mean() < 5e-4
 
 
+@pytest.mark.parametrize("drops", [(False, False), (True, False), (False, True)],
+                         ids=["no_drop", "drop_audio", "drop_both"])
+def test_cfm_loss_matches_reference_code(drops):
+    """Training-loss parity: our CFM loss vs the reference CFM.forward
+    (reference cfm.py:230-302) running the reference's own span-mask,
+    interpolation, CFG-drop, and masked-mean logic.  Randomness is matched by
+    replaying the reference's torch global-RNG draw sequence (frac_lengths →
+    span start → x0 → time, cfm.py:260-274 + utils.py:69-77) and injecting the
+    replayed tensors into our loss via its ``inject`` hook; the python-level
+    ``random()`` drop decisions (cfm.py:286-288) are pinned by patching the
+    freshly-loaded reference module's ``random`` symbol."""
+    from f5_tts_tpu.models import cfm as CF
+
+    drop_audio, drop_both = drops
+    cfg = SMALL
+    params = make_params(cfg, seed=11)
+    rng = np.random.default_rng(33)
+    b, n, nt = 2, 32, 12
+    mel = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    text = rng.integers(1, cfg.text_num_embeds, (b, nt)).astype(np.int64)
+    text[1, 9:] = -1
+    lens = np.array([n, n - 7], np.int32)
+    lens_t = torch.from_numpy(lens).long()
+
+    with reference_models() as ref:
+        mref = _ref_dit(ref, cfg)
+        _load_into_ref(mref, C.dit_params_to_state(params, cfg))
+        cfm_ref = ref.cfm.CFM(
+            transformer=mref,
+            mel_spec_kwargs=dict(n_mel_channels=cfg.mel_dim),
+            vocab_char_map=None,
+        ).eval()  # dropout off: deterministic, matches our dropout-free loss
+
+        # pin the python-random drop draws (first → audio, second → both)
+        draws = iter([0.0 if drop_audio else 0.99, 0.0 if drop_both else 0.99])
+        ref.cfm.random = lambda: next(draws)
+
+        # replay the torch global-RNG draw sequence of CFM.forward
+        torch.manual_seed(7)
+        frac = torch.zeros(b).float().uniform_(0.7, 1.0)
+        u_start = torch.rand_like(frac)
+        x0 = torch.randn(b, n, cfg.mel_dim)
+        time = torch.rand(b)
+        span = (frac * lens_t).long()
+        start = ((lens_t - span) * u_start).long().clamp(min=0)
+        pos = torch.arange(n)[None, :]
+        span_mask = (pos >= start[:, None]) & (pos < (start + span)[:, None])
+
+        torch.manual_seed(7)
+        with torch.no_grad():
+            loss_ref, _, _ = cfm_ref(
+                torch.from_numpy(mel), torch.from_numpy(text), lens=lens_t
+            )
+        want = float(loss_ref)
+
+    got = float(CF.loss(
+        params, cfg, jnp.asarray(mel), jnp.asarray(text.astype(np.int32)),
+        jnp.asarray(lens), jax.random.PRNGKey(0), backend="sdpa",
+        inject=dict(
+            x0=jnp.asarray(x0.numpy()), time=jnp.asarray(time.numpy()),
+            span_mask=jnp.asarray(span_mask.numpy()),
+            drop_audio=drop_audio, drop_both=drop_both,
+        ),
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
 def test_unett_forward_matches_reference_code():
     """UNetT (E2-TTS) vs reference backbones/unett.py, load direction: the
     reference model's own random-initialized state dict converts through
