@@ -16,14 +16,18 @@ import numpy as np
 _pipe = None
 
 
-def whisper_available(model_path: str | None = None) -> bool:
+def whisper_available(model_path: str | None = None, hf_cache_dir: str | None = None) -> bool:
     """True when an ASR model is resolvable without manual wiring."""
     from f5_tts_tpu.utils.hub import resolve_whisper
 
-    return resolve_whisper(model_path) is not None
+    return resolve_whisper(model_path, hf_cache_dir) is not None
 
 
-def make_whisper_transcriber(model_path: str | None = None, language: str | None = None):
+def make_whisper_transcriber(
+    model_path: str | None = None,
+    language: str | None = None,
+    hf_cache_dir: str | None = None,
+):
     """Returns transcribe_fn(wav: np.ndarray, sr: int) -> str.
 
     Model resolution (reference lazy-loads by name, utils_infer.py:153-184):
@@ -32,7 +36,7 @@ def make_whisper_transcriber(model_path: str | None = None, language: str | None
     """
     from f5_tts_tpu.utils.hub import WHISPER_REPO, resolve_whisper
 
-    model_path = resolve_whisper(model_path)
+    model_path = resolve_whisper(model_path, hf_cache_dir)
     if not model_path:
         raise RuntimeError(
             f"no Whisper model: populate the local HF cache with {WHISPER_REPO},"

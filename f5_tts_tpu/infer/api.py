@@ -59,6 +59,7 @@ class F5TTS:
         assert ode_method in ("euler", "midpoint"), (
             "fixed-step solvers only (matches reference torchdiffeq usage)"
         )
+        self.hf_cache_dir = hf_cache_dir  # also used by the ASR fallback in infer()
         if model_cfg:  # custom-arch dict, flat reference format (infer_gradio.py:1037-1068)
             arch_kw = dict(model_cfg)
             backbone_name = arch_kw.pop("backbone", "DiT")
@@ -166,7 +167,7 @@ class F5TTS:
     def transcribe(self, ref_audio, language=None):
         from f5_tts_tpu.audio.asr import make_whisper_transcriber
 
-        fn = make_whisper_transcriber(language=language)
+        fn = make_whisper_transcriber(language=language, hf_cache_dir=self.hf_cache_dir)
         if isinstance(ref_audio, str):
             wav, sr = load_wav(ref_audio)
         else:
@@ -215,10 +216,15 @@ class F5TTS:
         if not ref_text.strip():
             # reference lazy-loads whisper automatically on empty ref_text
             # (utils_infer.py:153-184); resolve env var / HF cache / download
-            from f5_tts_tpu.audio.asr import make_whisper_transcriber, whisper_available
+            # resolve ONCE (against the same HF cache the ctor used) and hand
+            # the resolved snapshot to the transcriber — a second resolution
+            # could re-hit the hub or disagree with the availability probe
+            from f5_tts_tpu.audio.asr import make_whisper_transcriber
+            from f5_tts_tpu.utils.hub import resolve_whisper
 
-            if whisper_available():
-                transcribe_fn = make_whisper_transcriber()
+            wpath = resolve_whisper(hf_cache_dir=self.hf_cache_dir)
+            if wpath:
+                transcribe_fn = make_whisper_transcriber(wpath)
         (wav, sr), ref_text = preprocess_ref_audio_text(
             ref_file, ref_text, show_info=show_info, transcribe_fn=transcribe_fn
         )

@@ -240,6 +240,12 @@ class InferenceEngine:
         gen_frames = [int(d - ln) for d, ln in zip(duration, lens)]
         wavs = []
         if wav is not None:
+            if getattr(self, "_stash_next_wav", False) and isinstance(wav, jax.Array):
+                # warmup hook: BatchServer.warmup_all grabs the pre-crop device
+                # array to pre-compile every crop-slice executable for this
+                # exact (shape, sharding) — otherwise each new 128-frame crop
+                # length hits a first-use compile at request time
+                self._stash_wav_dev = wav
             if isinstance(wav, jax.Array) and wav.ndim == 2 and gen_frames:
                 crop_f = -(-max(max(gen_frames), 1) // 128) * 128
                 crop_s = min(crop_f * self.hop, wav.shape[1])
@@ -428,19 +434,35 @@ class InferenceEngine:
         txt = np.zeros((text_len,), np.int32)
         self.generate_batch([ref], [txt], [n_frames - 1], seeds=[0])
 
-    def warmup_all(self, buckets=None, batch_sizes=(1,), fused: bool = True) -> None:
+    def warmup_all(
+        self, buckets=None, batch_sizes=(1,), fused: bool = True, warm_crops: bool = True
+    ) -> None:
         """Pre-compile graphs for every (bucket, batch) pair a server will see.
         Compiled executables persist via the jax compilation cache, so this is
-        a one-time cost per deployment."""
+        a one-time cost per deployment.  ``warm_crops`` also compiles the
+        fetch-path crop-slice executables (see _trim_wavs) so short
+        generations don't first-hit-compile at request time."""
         d = self.model_cfg.mel.n_mel_channels
         sr = self.model_cfg.mel.target_sample_rate
         for n in buckets or self.buckets:
             for b in batch_sizes:
                 txts = [np.zeros((min(64, n),), np.int32)] * b
                 durs = [n - 1] * b
-                if fused:
-                    wav = np.zeros(int(min(n // 4 * self.hop, 11 * sr)), np.float32)
-                    self.generate_batch_from_wav(wav, txts, durs, seeds=[0] * b, fetch_mel=False)
-                else:
-                    ref = np.zeros((n // 4, d), np.float32)
-                    self.generate_batch([ref] * b, txts, durs, seeds=[0] * b, fetch_mel=False)
+                self._stash_next_wav = warm_crops
+                self._stash_wav_dev = None
+                try:
+                    if fused:
+                        wav = np.zeros(int(min(n // 4 * self.hop, 11 * sr)), np.float32)
+                        self.generate_batch_from_wav(wav, txts, durs, seeds=[0] * b, fetch_mel=False)
+                    else:
+                        ref = np.zeros((n // 4, d), np.float32)
+                        self.generate_batch([ref] * b, txts, durs, seeds=[0] * b, fetch_mel=False)
+                    arr = getattr(self, "_stash_wav_dev", None)
+                    if warm_crops and arr is not None and arr.ndim == 2:
+                        S = arr.shape[1]
+                        for crop_s in sorted({min(f * self.hop, S) for f in range(128, n + 1, 128)}):
+                            if crop_s < S:
+                                np.asarray(arr[:, :crop_s])
+                finally:
+                    self._stash_next_wav = False
+                    self._stash_wav_dev = None

@@ -185,10 +185,17 @@ class BatchServer:
         wavs, gen_frames = eng._trim_wavs(wav, duration, lens)
         return None, wavs, gen_frames
 
-    def warmup_all(self, buckets=None) -> None:
+    def warmup_all(self, buckets=None, warm_crops: bool = True) -> None:
         """Pre-compile the sharded serving graph for every bucket THROUGH this
         server (under the mesh, with the installed parallel hooks) — the
-        ordering-safe counterpart of ``engine.warmup_all()``."""
+        ordering-safe counterpart of ``engine.warmup_all()``.
+
+        ``warm_crops`` additionally compiles every 128-frame crop-slice
+        executable of the fetch path (engine._trim_wavs) against the real
+        production output array of each bucket, so short generations don't
+        first-hit-compile at request time.  The per-slice programs are tiny
+        and land in the persistent compile cache; skip with
+        ``warm_crops=False`` for the fastest possible warmup."""
         eng = self.engine
         d = eng.model_cfg.mel.n_mel_channels
         for n in buckets or eng.buckets:
@@ -197,7 +204,22 @@ class BatchServer:
                 text_ids=np.zeros((min(64, n),), np.int32),
                 duration=n - 1,
             )
-            self.run([req] * self.batch_size, overlap=1)
+            eng._stash_next_wav = warm_crops
+            eng._stash_wav_dev = None
+            try:
+                self.run([req] * self.batch_size, overlap=1)
+                arr = getattr(eng, "_stash_wav_dev", None)
+                if warm_crops and arr is not None and arr.ndim == 2:
+                    S = arr.shape[1]
+                    crops = sorted({
+                        min(f * eng.hop, S) for f in range(128, n + 1, 128)
+                    })
+                    for crop_s in crops:
+                        if crop_s < S:  # same slice _trim_wavs takes
+                            np.asarray(arr[:, :crop_s])
+            finally:
+                eng._stash_next_wav = False
+                eng._stash_wav_dev = None
 
 
 def rtf_report(wavs: list[np.ndarray], latencies: list[float], sample_rate: int = 24_000) -> dict:

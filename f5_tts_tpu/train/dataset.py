@@ -92,15 +92,24 @@ class CustomDataset:
 
         Returns ``[{"wav": float32 [S_i], "text": str}, ...]``.
         """
+        if self.preprocessed_mel:
+            raise ValueError(
+                "wav_batch (Trainer(mel_in_graph=True)) needs raw-audio rows "
+                "with 'audio_path'; this dataset has preprocessed 'mel_spec' "
+                "rows — use the default host-mel pipeline instead"
+            )
         idx = [self._probe(i) for i in indices]
         rows = [self.data[i] for i in idx]
         sr_t = self.mel_cfg.target_sample_rate
-        if not self.preprocessed_mel and all("audio_path" in r for r in rows):
+        if all("audio_path" in r for r in rows):
             try:
                 from f5_tts_tpu.audio.native_loader import load_batch, native_available
 
                 if native_available():
-                    max_s = min(max(float(r["duration"]) for r in rows) + 0.5, 35.0)
+                    # decode cap follows the dataset's duration filter (don't
+                    # silently truncate when a caller widens it)
+                    cap = float(self.duration_filter[1]) + 5.0
+                    max_s = min(max(float(r["duration"]) for r in rows) + 0.5, cap)
                     wavs, lens = load_batch(
                         [r["audio_path"] for r in rows], sr_t, max_seconds=max_s
                     )

@@ -277,6 +277,22 @@ class Trainer:
         n_proc = jax.process_count()
         multihost = self.mesh is not None and n_proc > 1
 
+        # Exceptions inside the producer/uploader daemon threads (decode
+        # errors, device OOM on device_put, sharding mismatches) must surface
+        # in the step loop instead of leaving it blocked on q2.get() forever:
+        # each thread body is wrapped so a failure records the exception and
+        # poisons its downstream queue with the None sentinel.
+        pipeline_errors: list = []
+
+        def _guarded(fn, down_q: "_queue.Queue"):
+            def run(*args):
+                try:
+                    fn(*args)
+                except BaseException as e:  # noqa: BLE001 — re-raised in the step loop
+                    pipeline_errors.append(e)
+                    down_q.put(None)
+            return run
+
         def batch_producer(skip_n, out_q: "_queue.Queue"):
             """Host-side load+collate runs ahead of the device (the reference
             leans on DataLoader workers; here a producer thread + queue).
@@ -393,13 +409,19 @@ class Trainer:
             q: "_queue.Queue" = _queue.Queue(maxsize=4)
             q2: "_queue.Queue" = _queue.Queue(maxsize=2)  # device-side prefetch depth
             skip_n = skip if epoch == start_epoch else 0
-            producer = _threading.Thread(target=batch_producer, args=(skip_n, q), daemon=True)
+            producer = _threading.Thread(
+                target=_guarded(batch_producer, q), args=(skip_n, q), daemon=True
+            )
             producer.start()
-            uploader = _threading.Thread(target=batch_uploader, args=(q, q2), daemon=True)
+            uploader = _threading.Thread(
+                target=_guarded(batch_uploader, q2), args=(q, q2), daemon=True
+            )
             uploader.start()
             while True:
                 item = q2.get()
                 if item is None:
+                    if pipeline_errors:
+                        raise pipeline_errors[0]
                     break
                 batch, b_real, n_frames = item
                 key, sub = jax.random.split(key)

@@ -364,3 +364,42 @@ def test_trainer_mel_in_graph(tmp_path):
     l1 = [json.loads(x)["loss"] for x in open(t_wav.log_file)]
     l2 = [json.loads(x)["loss"] for x in open(t_mel.log_file)]
     np.testing.assert_allclose(l1, l2, rtol=2e-3, atol=2e-3)
+
+
+def test_wav_batch_rejects_preprocessed_mel():
+    """Trainer(mel_in_graph=True) needs raw audio; a preprocessed-mel dataset
+    must fail with a clear error, not a KeyError inside the producer thread."""
+    ds = make_dataset(4)
+    with pytest.raises(ValueError, match="mel_in_graph"):
+        ds.wav_batch([0, 1])
+
+
+@pytest.mark.slow
+def test_trainer_pipeline_error_propagates(tmp_path):
+    """An exception inside the producer/uploader daemon threads (decode error,
+    device_put failure) must surface in Trainer.train, not hang the step loop
+    on an empty queue forever."""
+
+    class _BoomDataset:
+        def __init__(self, ds):
+            self._ds = ds
+
+        def __len__(self):
+            return len(self._ds)
+
+        def get_frame_len(self, i):
+            return self._ds.get_frame_len(i)
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom: decode failed")
+
+    ds = _BoomDataset(make_dataset(8))
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16),
+                            tokenizer="byte")
+    trainer = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=20),
+                      ckpt_dir=str(tmp_path / "ck"), batch_size_per_device=400,
+                      max_samples=4, save_per_updates=1000, last_per_updates=1000, seed=0)
+    with pytest.raises(RuntimeError, match="boom"):
+        trainer.train(D.init(jax.random.PRNGKey(0), arch), ds, epochs=1, resume=False)
