@@ -52,6 +52,8 @@ class Trainer:
         # inside the train step (collate_wav_batch + ops/mel.log_mel_prepadded);
         # host does only C++ threaded decode + pad — the input-pipeline mode
         # for raw-audio datasets on 1-CPU TPU hosts
+        preemption_save: bool = True,  # SIGTERM (TPU preemption notice) =>
+        # finish the in-flight step, write a durable model_last, exit cleanly
     ):
         if grad_accumulation_steps > 1 and opt_cfg.grad_accumulation_steps == 1:
             import dataclasses as _dc
@@ -73,6 +75,8 @@ class Trainer:
         self.zero1 = zero1
         self.tensor_parallel = tensor_parallel
         self.mel_in_graph = mel_in_graph
+        self.preemption_save = preemption_save
+        self._ckptr = None
         mesh_axes = set(mesh.axis_names) if mesh is not None else set()
         self.pipeline_microbatches = pipeline_microbatches if "pipe" in mesh_axes else 0
         self.sequence_parallel = sequence_parallel and "seq" in mesh_axes
@@ -139,9 +143,25 @@ class Trainer:
     def _ckpt_path(self, tag) -> str:
         return os.path.abspath(os.path.join(self.ckpt_dir, f"model_{tag}"))
 
-    def save_checkpoint(self, state: dict, update: int, last: bool = False) -> None:
-        import orbax.checkpoint as ocp
+    @property
+    def checkpointer(self):
+        """Persistent orbax StandardCheckpointer (an AsyncCheckpointer):
+        ``save`` returns once the device->host snapshot is taken and commits
+        to disk in a background thread, so checkpoint writes overlap the next
+        train steps instead of stalling the device."""
+        if self._ckptr is None:
+            import orbax.checkpoint as ocp
 
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
+    def save_checkpoint(
+        self, state: dict, update: int, last: bool = False, block: bool = False
+    ) -> None:
+        ckptr = self.checkpointer
+        # the previous async save must be fully committed before anything at
+        # its path is cleared or a new save starts
+        ckptr.wait_until_finished()
         tag = "last" if last else str(update)
         path = self._ckpt_path(tag)
         if jax.process_count() > 1:
@@ -154,9 +174,12 @@ class Trainer:
             multihost_utils.sync_global_devices("f5_ckpt_clear")
         elif os.path.exists(path):
             shutil.rmtree(path)
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, state)
+        ckptr.save(path, state)
+        if block:
+            ckptr.wait_until_finished()
         if not last and self.keep_last_n_checkpoints >= 0 and jax.process_index() == 0:
+            # rotation only ever deletes OLDER committed model_N dirs; the
+            # in-flight tmp dir is name-filtered out, so it's async-safe
             self._rotate()
 
     def _rotate(self) -> None:
@@ -175,6 +198,8 @@ class Trainer:
     def load_checkpoint(self, state_template: dict) -> dict | None:
         import orbax.checkpoint as ocp
 
+        if self._ckptr is not None:  # don't restore under an in-flight save
+            self._ckptr.wait_until_finished()
         path = self._ckpt_path("last")
         if not os.path.exists(path):
             numbered = sorted(
@@ -206,7 +231,35 @@ class Trainer:
 
     # ---------------------------------------------------------------- train
     def train(self, params, dataset, epochs: int = 1, resume: bool = True, progress=None):
-        """Runs the loop; returns (params, ema_params, update)."""
+        """Runs the loop; returns (params, ema_params, update).
+
+        Preemption safety: TPU pods get a SIGTERM ahead of eviction.  The
+        handler is installed before ANY device work (compiles included) so
+        the whole run is covered: on SIGTERM the in-flight step finishes, a
+        durable model_last is written, and train() returns cleanly —
+        ``resume=True`` continues from the exact micro-step.  Only the main
+        thread can install signal handlers (gradio/server launches running
+        train() on worker threads skip this).
+        """
+        import threading as _threading
+
+        preempt = {"hit": False}
+        old_sigterm = None
+        if self.preemption_save and _threading.current_thread() is _threading.main_thread():
+            import signal as _signal
+
+            old_sigterm = _signal.signal(
+                _signal.SIGTERM, lambda s, f: preempt.update(hit=True)
+            )
+        try:
+            return self._train_impl(params, dataset, epochs, resume, progress, preempt)
+        finally:
+            if old_sigterm is not None:
+                import signal as _signal
+
+                _signal.signal(_signal.SIGTERM, old_sigterm)
+
+    def _train_impl(self, params, dataset, epochs, resume, progress, preempt):
         if self.mesh is not None and (self.tensor_parallel or self.pipeline_microbatches):
             from f5_tts_tpu.parallel.mesh import backbone_param_specs, shard_params
 
@@ -451,6 +504,11 @@ class Trainer:
                             print(f"log_samples failed at update {update}: {e}")
                 if did_update and update % self.last_per_updates == 0:
                     self.save_checkpoint(state, update, last=True)
+                if preempt["hit"]:
+                    self.save_checkpoint(state, update, last=True, block=True)
+                    self._log({"preempted": True, "update": update, "micro_step": micro})
+                    print(f"SIGTERM: durable model_last at micro-step {micro}; exiting")
+                    return params, ema_params, update
             skip = 0
-        self.save_checkpoint(state, update, last=True)
+        self.save_checkpoint(state, update, last=True, block=True)
         return params, ema_params, update

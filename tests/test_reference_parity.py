@@ -332,3 +332,31 @@ def test_mmdit_forward_matches_reference_code():
     mm = mask[:, :, None]
     np.testing.assert_allclose(got * mm, want * mm, atol=2e-3, rtol=1e-3)
     assert np.abs((got - want) * mm).mean() < 1e-4
+
+
+def test_tokenizer_utils_match_reference_code(tmp_path):
+    """Vocab load + id mapping vs the reference's own get_tokenizer /
+    list_str_to_idx / list_str_to_tensor (reference model/utils.py:92-142):
+    custom vocab file round-trip, ragged -1 padding, unknown->0, byte mode."""
+    from f5_tts_tpu.text import tokenizer as T
+
+    with reference_models() as ref:
+        U = ref.utils
+        vocab_lines = [" ", "a", "b", "ni3", "hao3", "。"]
+        vp = tmp_path / "vocab.txt"
+        vp.write_text("\n".join(vocab_lines) + "\n", encoding="utf-8")
+        vmap_ref, vsz_ref = U.get_tokenizer(str(vp), "custom")
+        vmap, vsz = T.get_tokenizer(str(vp), "custom")
+        assert vmap == vmap_ref and vsz == vsz_ref
+
+        texts = [["a", "b", "x"], ["ni3", "hao3"]]  # ragged, 'x' is OOV
+        want = U.list_str_to_idx(texts, vmap_ref).numpy()
+        got = T.tokens_to_ids(texts, vmap)
+        np.testing.assert_array_equal(got, want)
+
+        texts2 = ["hello", "hi"]
+        want2 = U.list_str_to_tensor(texts2).numpy()
+        got2 = T.tokens_to_ids(texts2, None)
+        np.testing.assert_array_equal(got2, want2)
+
+        assert T.get_tokenizer(None, "byte") == (None, 256)

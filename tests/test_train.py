@@ -403,3 +403,59 @@ def test_trainer_pipeline_error_propagates(tmp_path):
                       max_samples=4, save_per_updates=1000, last_per_updates=1000, seed=0)
     with pytest.raises(RuntimeError, match="boom"):
         trainer.train(D.init(jax.random.PRNGKey(0), arch), ds, epochs=1, resume=False)
+
+
+@pytest.mark.slow
+def test_trainer_preemption_sigterm_saves_and_resumes(tmp_path):
+    """SIGTERM (the TPU-pod preemption notice) mid-training must write a
+    durable model_last and return cleanly; resume=True then continues from
+    the saved micro-step to completion."""
+    import os
+    import signal
+    import threading
+
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16),
+                            tokenizer="byte")
+    ds = make_dataset(24)
+    kw = dict(batch_size_per_device=400, max_samples=4,
+              save_per_updates=1000, last_per_updates=1000, seed=0)
+    trainer = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=200),
+                      ckpt_dir=str(tmp_path / "ck"), **kw)
+    # fire SIGTERM only once train() has installed its handler (poll — setup
+    # and first-step compile time vary with machine load)
+    import time as _time
+
+    prior = signal.getsignal(signal.SIGTERM)
+    stop = threading.Event()
+
+    def _fire():
+        deadline = _time.time() + 180
+        while _time.time() < deadline and not stop.is_set():
+            if signal.getsignal(signal.SIGTERM) is not prior:
+                _time.sleep(1.0)  # let a step or two run
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            _time.sleep(0.2)
+
+    killer = threading.Thread(target=_fire, daemon=True)
+    killer.start()
+    try:
+        p1, ema1, upd1 = trainer.train(
+            D.init(jax.random.PRNGKey(0), arch), ds, epochs=40, resume=False
+        )
+    finally:
+        stop.set()
+    total = len(DynamicBatchSampler(ds, 400, 4, 0)) * 40
+    assert upd1 < total, "preemption should stop training early"
+    assert os.path.exists(tmp_path / "ck" / "model_last")
+    # handler restored
+    assert signal.getsignal(signal.SIGTERM) is prior
+
+    trainer2 = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=200),
+                       ckpt_dir=str(tmp_path / "ck"), **kw)
+    p2, ema2, upd2 = trainer2.train(
+        D.init(jax.random.PRNGKey(1), arch), ds, epochs=40, resume=True
+    )
+    assert upd2 == total, "resume must finish the remaining updates"
