@@ -140,7 +140,11 @@ def sample(
         test_cond = jnp.where(dup_region[..., None], test_cond, 0.0)
         y0 = (1.0 - opts.t_start) * y0 + opts.t_start * test_cond.astype(compute_dtype)
 
-    ts = timestep_schedule(opts.steps, opts.sway_sampling_coef, opts.use_epss, opts.t_start)
+    # reference cfm.py:205-209: a t_start>0 launch (duplicate_test) keeps the
+    # ODE grid density by integrating only the remaining (1-t_start) fraction
+    # of the step budget over [t_start, 1]
+    n_steps = int(opts.steps * (1.0 - opts.t_start)) if opts.t_start > 0.0 else opts.steps
+    ts = timestep_schedule(n_steps, opts.sway_sampling_coef, opts.use_epss, opts.t_start)
     t_dt = jnp.stack([ts[:-1], ts[1:] - ts[:-1]], axis=1)  # [steps, 2]
 
     # MMDiT keeps text as its own stream and needs the text validity mask
@@ -298,12 +302,20 @@ def loss(
     # DiT and XLA's cond blocks fusion around the branch, so the dual compute
     # wins; expected saving from branching is bounded by p(drop)=0.2 anyway.
     bb = get_backbone(arch_cfg)
-    te = bb.text_embedding(params, arch_cfg, text_ids, n, lens=None)
-    te_uncond = bb.text_embedding(params, arch_cfg, text_ids, n, lens=None, drop_text=True)
+    # per-sample lens: the reference training path passes seq_len =
+    # audio_mask.sum(1) into text_embed (dit.py get_input_embed), which
+    # valid-masks text positions beyond each sample's mel length — matters
+    # for legacy configs with text_mask_padding=False
+    te = bb.text_embedding(params, arch_cfg, text_ids, n, lens=lens)
+    te_uncond = bb.text_embedding(params, arch_cfg, text_ids, n, lens=lens, drop_text=True)
     te = jnp.where(drop_both, te_uncond.astype(x1.dtype), te.astype(x1.dtype))
     cond_in = jnp.where(drop_audio, 0.0, cond)
 
     extra = {}
+    if getattr(arch_cfg, "backbone", "") == "MMDiT":
+        # text stream validity (the reference MMDiT recomputes c_mask from the
+        # padded ids and re-masks c between blocks)
+        extra["c_mask"] = text_ids != -1
     if block_scan is not None:
         extra["block_scan"] = block_scan
     if activation_constraint is not None:

@@ -49,7 +49,11 @@ def init(key: jax.Array, cfg: DiTConfig):
         "proj_out": L.linear_init(ks[7], cfg.dim, cfg.mel_dim, zero=True),
     }
     if cfg.long_skip_connection:
-        params["long_skip"] = L.linear_init(jax.random.split(ks[2], 1)[0], cfg.dim * 2, cfg.dim, bias=False)
+        # NOT split(ks[2], 1)[0]: jax splits are prefix-stable, so that key
+        # would be bit-identical to block 0's init key (correlated weights)
+        params["long_skip"] = L.linear_init(
+            jax.random.fold_in(ks[2], cfg.depth), cfg.dim * 2, cfg.dim, bias=False
+        )
     return params
 
 

@@ -241,7 +241,7 @@ def forward_with_text(
 
 def forward_cfg(
     params, cfg: MMDiTConfig, x, step_cond, text_emb_cond, text_emb_uncond, time,
-    mask=None, c_mask=None, backend="sdpa",
+    mask=None, c_mask=None, backend="sdpa", attn_mask_enabled: bool = False,
 ):
     b = x.shape[0]
     x2 = jnp.concatenate([x, x], axis=0)
@@ -252,5 +252,6 @@ def forward_cfg(
     t2 = jnp.concatenate([time, time], axis=0)
     mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
     cm2 = None if c_mask is None else jnp.concatenate([c_mask, c_mask], axis=0)
-    out = forward(params, cfg, x2, cond2, te2, t2, mask=mask2, c_mask=cm2, backend=backend)
+    out = forward(params, cfg, x2, cond2, te2, t2, mask=mask2, c_mask=cm2,
+                  backend=backend, attn_mask_enabled=attn_mask_enabled)
     return out[:b], out[b:]

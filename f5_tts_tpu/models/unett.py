@@ -148,7 +148,9 @@ def forward(
             mask = jnp.arange(pad_to)[None, :] < seq
         else:
             mask = jnp.pad(mask, ((0, 0), (0, pad_amt)), constant_values=False)
-    rope = jnp.asarray(rotary_freqs(cfg.max_pos + 1, cfg.dim_head)[:pad_to])
+    # table must cover the flash-padded length too (bucket 4096 at max_pos
+    # 4096 pads to 4352 — a short table would broadcast-crash apply_rotary)
+    rope = jnp.asarray(rotary_freqs(max(cfg.max_pos + 1, pad_to), cfg.dim_head)[:pad_to])
 
     def first_fn(carry, bp):
         out = _block(bp, carry, mask, rope, cfg, backend)

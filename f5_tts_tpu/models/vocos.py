@@ -106,7 +106,9 @@ def decode(
     x = L.linear(params["head"], x)  # [b, n, n_fft + 2]
     n_freq = cfg.n_fft // 2 + 1
     mag, phase = x[..., :n_freq], x[..., n_freq:]
-    mag = jnp.exp(jnp.clip(mag.astype(jnp.float32), max=1e2))
+    # magnitude cap AFTER exp (vocos heads.py ISTFTHead: exp(x).clip(max=1e2));
+    # the inner clip only guards exp from fp32 overflow on wild inputs
+    mag = jnp.minimum(jnp.exp(jnp.clip(mag.astype(jnp.float32), max=20.0)), 1e2)
     re = mag * jnp.cos(phase.astype(jnp.float32))
     im = mag * jnp.sin(phase.astype(jnp.float32))
     return istft(re, im, cfg.stft, length=length, frame_lens=lens)

@@ -377,6 +377,8 @@ def flash_attention_with_stats(q, k, v, lens, block_q: int = 256, block_k: int =
     logsumexp is NATURAL-log (parallel/ring.py's merge depends on this).
     """
     n, nk = q.shape[2], k.shape[2]
+    if n != nk:  # the stats kernels tile k/v with q's n (ring shards are equal)
+        raise ValueError(f"flash_attention_with_stats needs len(q)==len(k), got {n} vs {nk}")
     return _flash_stats_diff(q, k, v, lens, _pick_block(n, block_q), _pick_block(nk, block_k))
 
 
@@ -392,6 +394,14 @@ def _pick_block(n: int, preferred: int) -> int:
         blk //= 2
     if n % blk:
         raise ValueError(f"sequence length {n} has no power-of-two block divisor <= {preferred}")
+    if blk < 8 and n > 8:
+        # e.g. n=1324 -> blk=4: Mosaic rejects (or crawls through) sub-sublane
+        # blocks; a FORCED backend bypasses flash_supported's shape gate, so
+        # fail loudly instead (auto dispatch falls back to SDPA before this)
+        raise ValueError(
+            f"sequence length {n} factors to flash block {blk} (<8); "
+            "use a 128-multiple bucket or backend='sdpa'"
+        )
     return blk
 
 

@@ -27,13 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from f5_tts_tpu.models import layers as L
+
 KSIZE = 31
 HALF = KSIZE // 2  # 15
 PAD = 2 * HALF  # halo for the two stacked convs
-
-
-def _mish(x):
-    return x * jnp.tanh(jax.nn.softplus(x))
 
 
 def _kernel(lens_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, n, dg, dtype):
@@ -70,7 +68,7 @@ def _kernel(lens_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, n, dg, dt
                 xw[t : t + ni], w1_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         acc = acc + b1_ref[0, sl].astype(jnp.float32)
-        inter = _mish(acc)
+        inter = L.mish(acc)
         # re-mask (modules.py:192-197): valid logical rows are [0, length)
         inter = jnp.where((ridx1 >= 0) & (ridx1 < length), inter, 0.0).astype(dtype)
 
@@ -80,7 +78,7 @@ def _kernel(lens_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, n, dg, dt
                 inter[t : t + ch], w2_ref[t, :, sl].astype(dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         acc2 = acc2 + b2_ref[0, sl].astype(jnp.float32)
-        out = _mish(acc2)
+        out = L.mish(acc2)
         out = jnp.where(ridx2 < length, out, 0.0)
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 

@@ -345,3 +345,28 @@ def test_mmdit_train_backend_grads_match_sdpa():
         denom = np.abs(np.asarray(b_)).mean() + 1e-6
         err = np.abs(np.asarray(a) - np.asarray(b_)).mean() / denom
         assert err < 5e-2, err
+
+
+def test_pick_block_rejects_pathological_lengths():
+    """Forced backends bypass flash_supported's shape gate; _pick_block must
+    fail loudly for lengths that factor to sub-sublane blocks (n=1324 ->
+    block 4) instead of handing Mosaic an illegal/pathological shape."""
+    from f5_tts_tpu.ops.flash_attention import _pick_block
+
+    assert _pick_block(1024, 512) == 512
+    assert _pick_block(768, 512) == 256
+    with pytest.raises(ValueError, match="flash block"):
+        _pick_block(1324, 512)  # -> block 4
+    with pytest.raises(ValueError, match="flash block"):
+        _pick_block(1325, 512)  # odd -> block 1
+
+
+def test_stats_requires_equal_qk_lengths():
+    """flash_attention_with_stats tiles k/v with q's length (ring shards are
+    equal-sized); unequal lengths must raise instead of mis-reshaping."""
+    from f5_tts_tpu.ops.flash_attention import flash_attention_with_stats
+
+    q = jnp.zeros((1, 2, 256, 64), jnp.float32)
+    k = v = jnp.zeros((1, 2, 512, 64), jnp.float32)
+    with pytest.raises(ValueError, match="len\\(q\\)==len\\(k\\)"):
+        flash_attention_with_stats(q, k, v, jnp.array([256], jnp.int32))

@@ -360,3 +360,55 @@ def test_tokenizer_utils_match_reference_code(tmp_path):
         np.testing.assert_array_equal(got2, want2)
 
         assert T.get_tokenizer(None, "byte") == (None, 256)
+
+
+def test_cfm_sample_duplicate_test_matches_reference_code():
+    """duplicate_test/t_inter corner (reference cfm.py:205-209): ODE restarts
+    at t_start from a blended state with a REDUCED step count
+    steps*(1-t_start); both trajectories must agree."""
+    from f5_tts_tpu.models import cfm as CF
+
+    cfg = SMALL
+    params = make_params(cfg, seed=9)
+    rng = np.random.default_rng(23)
+    b, n_ref, n_tot, nt = 2, 16, 40, 10
+    cond_mel = rng.standard_normal((b, n_ref, cfg.mel_dim)).astype(np.float32)
+    text = rng.integers(1, cfg.text_num_embeds, (b, nt)).astype(np.int64)
+    nfe, t_inter = 8, 0.5
+
+    with reference_models() as ref:
+        mref = _ref_dit(ref, cfg)
+        _load_into_ref(mref, C.dit_params_to_state(params, cfg))
+        cfm_ref = ref.cfm.CFM(
+            transformer=mref,
+            mel_spec_kwargs=dict(n_mel_channels=cfg.mel_dim),
+            vocab_char_map=None,
+        ).eval()
+        with torch.no_grad():
+            out_ref, _ = cfm_ref.sample(
+                cond=torch.from_numpy(cond_mel), text=torch.from_numpy(text),
+                duration=n_tot, steps=nfe, cfg_strength=2.0,
+                sway_sampling_coef=-1.0, seed=0,
+                duplicate_test=True, t_inter=t_inter,
+            )
+
+    y0_rows = []
+    for _ in range(b):
+        torch.manual_seed(0)
+        y0_rows.append(torch.randn(n_tot, cfg.mel_dim))
+    noise = torch.stack(y0_rows).numpy()
+
+    opts = CF.SampleOptions(steps=nfe, cfg_strength=2.0, sway_sampling_coef=-1.0,
+                            t_start=t_inter, precompute_adaln=False)
+    cond_padded = np.zeros((b, n_tot, cfg.mel_dim), np.float32)
+    cond_padded[:, :n_ref] = cond_mel
+    got = np.asarray(CF.sample(
+        params, cfg, jnp.asarray(cond_padded), jnp.asarray(text.astype(np.int32)),
+        jnp.asarray(np.full((b,), n_tot, np.int32)), jnp.asarray(noise),
+        lens=jnp.asarray(np.full((b,), n_ref, np.int32)), opts=opts,
+        duplicate_test=True, backend="sdpa",
+    ))
+    want = out_ref.numpy()
+    gen = slice(n_ref, n_tot)
+    np.testing.assert_allclose(got[:, gen], want[:, gen], atol=5e-3, rtol=1e-2)
+    assert np.abs(got[:, gen] - want[:, gen]).mean() < 5e-4

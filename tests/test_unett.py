@@ -220,3 +220,26 @@ def test_unett_flash_padding_path_matches_unpadded():
     c = np.asarray(U.forward_with_text(params, cfg, jnp.asarray(x), jnp.asarray(cond),
                                        jnp.asarray(text), jnp.asarray(time), backend="auto"))
     np.testing.assert_allclose(a, c, atol=1e-4)
+
+
+def test_flash_padding_beyond_max_pos():
+    """Rope table must cover the 256-padded sequence even when it exceeds
+    max_pos+1 (bucket 4096 at max_pos 4096 pads to 4352): backend='auto'
+    pads seq>256, which used to truncate the table and crash apply_rotary."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, max_pos=256)
+    params = U.init(jax.random.PRNGKey(2), cfg)
+    n = 256  # seq = n+1 = 257 -> pad_to 512 > max_pos+1
+    x, cond, text, time, mask = _inputs(cfg, n=n)
+    out = np.asarray(U.forward_with_text(
+        params, cfg, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text),
+        jnp.asarray(time), mask=jnp.asarray(mask), backend="auto",
+    ))
+    ref = np.asarray(U.forward_with_text(
+        params, cfg, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text),
+        jnp.asarray(time), mask=jnp.asarray(mask), backend="sdpa",
+    ))
+    assert out.shape == (2, n, cfg.mel_dim)
+    mm = mask[:, :, None]
+    np.testing.assert_allclose(out * mm, ref * mm, atol=1e-5, rtol=1e-5)

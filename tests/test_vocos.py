@@ -131,3 +131,18 @@ def test_vocos_converter_ignores_feature_extractor_keys():
     a = np.asarray(V.decode(params, jnp.asarray(mel), cfg))
     b = np.asarray(V.decode(got, jnp.asarray(mel), cfg))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_magnitude_clip_after_exp():
+    """The 1e2 magnitude cap applies AFTER exp (vocos heads.py ISTFTHead
+    ``exp(x).clip(max=1e2)``): a head producing huge log-magnitudes must
+    yield a finite waveform with mag capped at 100, not exp(logmag)."""
+    cfg = V.VocosConfig(input_channels=20, dim=64, intermediate_dim=128, num_layers=3)
+    params = V.init(jax.random.PRNGKey(0), cfg)
+    params["head"]["bias"] = params["head"]["bias"] + 50.0  # log-mag ~50 -> exp 5e21
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((1, 17, 20)).astype(np.float32)
+    wav = np.asarray(V.decode(params, jnp.asarray(mel), cfg))
+    assert np.isfinite(wav).all()
+    # a frame of all-100 magnitudes bounds the waveform far below exp(50)
+    assert np.abs(wav).max() < 1e5
