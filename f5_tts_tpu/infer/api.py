@@ -238,12 +238,15 @@ class F5TTS:
             or cfg_strength != eng.options.cfg_strength
             or sway_sampling_coef != eng.options.sway_sampling_coef
         ):
-            eng.options = EngineOptions(
+            # replace() keeps every other knob (ode_method, quantize, epss,
+            # backend) — rebuilding from scratch silently reset the solver
+            import dataclasses
+
+            eng.options = dataclasses.replace(
+                eng.options,
                 nfe_step=nfe_step,
                 cfg_strength=cfg_strength,
                 sway_sampling_coef=sway_sampling_coef,
-                use_epss=eng.options.use_epss,
-                backend=eng.options.backend,
             )
 
         out_wav, out_sr, spec = infer_process(

@@ -230,10 +230,16 @@ class BatchedEngine:
     """
 
     def __init__(self, batcher: DynamicBatcher):
-        self.batcher = batcher
+        object.__setattr__(self, "batcher", batcher)
 
     def __getattr__(self, name):
         return getattr(self.batcher.engine, name)
+
+    def __setattr__(self, name, value):
+        # forward writes to the real engine too: callers that tweak
+        # engine.options / parallel_hooks (api.infer, BatchServer) must hit
+        # the engine the batcher actually runs, not shadow it on the facade
+        setattr(self.batcher.engine, name, value)
 
     def _finish(self, futures, fetch_mel, durations):
         results = [f.result() for f in futures]

@@ -67,7 +67,9 @@ def main(argv=None) -> str | None:
 
     def opt(name, default=None):
         v = getattr(args, name, None)
-        if v not in (None, False, ""):
+        # identity checks, not `in`: 0 == False and 0.0 == False in Python,
+        # which used to drop explicit zero flags (e.g. --sway_sampling_coef 0)
+        if v is not None and v is not False and v != "":
             return v
         return config.get(name, default)
 
@@ -83,6 +85,15 @@ def main(argv=None) -> str | None:
         nfe_step=int(opt("nfe_step", P.NFE_STEP)),
         init_random=bool(opt("init_random", False)),
     )
+    cfg_strength = float(opt("cfg_strength", P.CFG_STRENGTH))
+    sway = float(opt("sway_sampling_coef", P.SWAY_SAMPLING_COEF))
+    if (cfg_strength != tts.engine.options.cfg_strength
+            or sway != tts.engine.options.sway_sampling_coef):
+        import dataclasses
+
+        tts.engine.options = dataclasses.replace(
+            tts.engine.options, cfg_strength=cfg_strength, sway_sampling_coef=sway
+        )
 
     gen_text = opt("gen_text", "")
     gen_file = opt("gen_file", "")

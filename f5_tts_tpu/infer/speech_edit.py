@@ -72,7 +72,6 @@ def edit_speech(
 
     # re-timed cond mel: copy kept frames from source, zeros in edit spans
     cond = np.zeros((total, mel.shape[1]), np.float32)
-    src_pos = np.zeros(total, np.int64)
     cursor_src = 0
     cursor_dst = 0
     fix = list(fix_durations) if fix_durations else None
@@ -81,7 +80,6 @@ def edit_speech(
         end = int(end_s * sr_t / hop)
         ncopy = start - cursor_src
         cond[cursor_dst : cursor_dst + ncopy] = mel[cursor_src:start]
-        src_pos[cursor_dst : cursor_dst + ncopy] = np.arange(cursor_src, start)
         cursor_dst += ncopy
         span = (end - start) if fix is None else int(fix.pop(0) * sr_t / hop)
         cursor_dst += span

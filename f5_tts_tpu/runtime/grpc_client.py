@@ -190,7 +190,9 @@ def main(argv=None):
     concurrencies = ([int(x) for x in args.sweep.split(",")] if args.sweep
                      else [args.num_tasks])
     for c in concurrencies:
-        name = args.name or f"c{c}"
+        # suffix the concurrency when sweeping so reports don't overwrite
+        name = (f"{args.name}-c{c}" if args.name else f"c{c}") if len(concurrencies) > 1 \
+            else (args.name or f"c{c}")
         res = asyncio.run(run_benchmark(
             args.server, prompts, c, ref_wav_bytes=ref_bytes,
             ref_text=args.reference_text, log_dir=args.log_dir, name=name))

@@ -124,6 +124,24 @@ def test_submit_validates_ref_args():
         batcher.close()
 
 
+def test_batched_engine_forwards_attribute_writes():
+    """Writes through the facade must hit the real engine (api.infer sets
+    engine.options; BatchServer installs parallel_hooks) — a shadow attribute
+    on the facade would silently split the two."""
+    import dataclasses
+
+    eng = _engine()
+    batcher = DynamicBatcher(eng, max_batch=2, queue_delay_ms=0.0)
+    try:
+        beng = BatchedEngine(batcher)
+        beng.options = dataclasses.replace(eng.options, nfe_step=7)
+        assert eng.options.nfe_step == 7  # reached the real engine
+        assert beng.options.nfe_step == 7  # and reads see the same object
+        assert "options" not in vars(beng)  # no shadow on the facade
+    finally:
+        batcher.close()
+
+
 def test_generate_batch_from_wavs_matches_per_row():
     """Per-row-ref fused path == per-request single-ref fused calls."""
     eng = _engine()

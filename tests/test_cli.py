@@ -37,6 +37,32 @@ def test_infer_cli_end_to_end(ref_wav_path, tmp_path):
     assert sr == 24000 and len(wav) > 1000
 
 
+def test_infer_cli_sampler_flags_take_effect(ref_wav_path, tmp_path, monkeypatch):
+    """--cfg_strength / --sway_sampling_coef must reach the engine (they were
+    once parsed-and-ignored), including explicit zeros (0.0 == False pitfall)."""
+    from f5_tts_tpu.infer import cli as C
+
+    seen = {}
+    real_infer = C.P.infer_process
+
+    def spy(engine, *a, **k):
+        seen["cfg"] = engine.options.cfg_strength
+        seen["sway"] = engine.options.sway_sampling_coef
+        return real_infer(engine, *a, **k)
+
+    monkeypatch.setattr(C.P, "infer_process", spy)
+    out = C.main([
+        "--model", "F5TTS_Tiny", "--init_random",
+        "--ref_audio", ref_wav_path,
+        "--ref_text", "a simple tone reference.",
+        "--gen_text", "sampler flag check.",
+        "--output_dir", str(tmp_path), "--output_file", "flags.wav",
+        "--nfe_step", "2", "--cfg_strength", "1.5", "--sway_sampling_coef", "0.0",
+    ])
+    assert out is not None and os.path.isfile(out)
+    assert seen == {"cfg": 1.5, "sway": 0.0}
+
+
 def test_infer_cli_toml_config(ref_wav_path, tmp_path):
     from f5_tts_tpu.infer.cli import main
 
@@ -220,6 +246,24 @@ def test_api_loads_released_safetensors_format(ref_wav_path, tmp_path):
                               "loaded from released format.", seed=4,
                               show_info=lambda *a, **k: None)
     assert wav is not None and np.isfinite(wav).all()
+
+
+def test_infer_override_keeps_other_engine_options(ref_wav_path):
+    """Per-call nfe/cfg overrides must not reset the other knobs: an engine
+    built with ode_method='midpoint' stays midpoint after infer(nfe_step=...)
+    (reference load_model fixes ode_method at ctor time, api.py:35-40)."""
+    import numpy as np
+
+    from f5_tts_tpu.infer.api import F5TTS
+
+    tts = F5TTS(model="F5TTS_Tiny", init_random=True, nfe_step=2, device="cpu",
+                ode_method="midpoint")
+    wav, sr, _ = tts.infer(ref_wav_path, "a simple tone reference.",
+                           "override check.", seed=3, nfe_step=4,
+                           show_info=lambda *a, **k: None)
+    assert wav is not None and np.isfinite(wav).all()
+    assert tts.engine.options.nfe_step == 4
+    assert tts.engine.options.ode_method == "midpoint"
 
 
 def test_simple_yaml_parser():
