@@ -14,6 +14,7 @@ import os
 import numpy as np
 
 _pipe = None
+_pipe_path = None
 
 
 def whisper_available(model_path: str | None = None, hf_cache_dir: str | None = None) -> bool:
@@ -42,8 +43,8 @@ def make_whisper_transcriber(
             f"no Whisper model: populate the local HF cache with {WHISPER_REPO},"
             " set $F5_TTS_TPU_WHISPER to a local snapshot, or pass model_path"
         )
-    global _pipe
-    if _pipe is None:
+    global _pipe, _pipe_path
+    if _pipe is None or _pipe_path != model_path:  # re-key on a new snapshot
         from transformers import pipeline
 
         _pipe = pipeline(
@@ -51,9 +52,12 @@ def make_whisper_transcriber(
             model=model_path,
             device="cpu",
         )
+        _pipe_path = model_path
+    pipe = _pipe  # bind locally: a later transcriber with another snapshot
+    # must not swap the model under this closure
 
     def transcribe(wav: np.ndarray, sr: int) -> str:
-        out = _pipe(
+        out = pipe(
             {"raw": np.asarray(wav, dtype=np.float32), "sampling_rate": sr},
             chunk_length_s=30,
             batch_size=8,

@@ -124,29 +124,54 @@ def infer_batch_process(
         ref_frames, ref_text, gen_text_batches, opts.speed, opts.fix_duration, sr_t, mel_cfg.hop_length
     )
     seeds = None if opts.seed is None else [opts.seed] * len(texts)
-    # fused path: ref-mel extraction happens inside the same compiled graph
-    mels, wavs, gen_frames = engine.generate_batch_from_wav(
-        wav,
-        [ids[i][ids[i] != -1] for i in range(len(texts))],
-        durations,
-        seeds=seeds,
-        fetch_mel=not streaming,
+    ids_list = [ids[i][ids[i] != -1] for i in range(len(texts))]
+
+    _no_vocoder_msg = (
+        "the engine has no vocoder weights (mel-only mode), so no waveform"
+        " was decoded — pass vocoder_local_path (or init_random for smoke"
+        " tests) when constructing the model"
     )
-    if not wavs and any(g > 0 for g in gen_frames):
-        raise RuntimeError(
-            "the engine has no vocoder weights (mel-only mode), so no waveform"
-            " was decoded — pass vocoder_local_path (or init_random for smoke"
-            " tests) when constructing the model"
-        )
-    if 0 < audio_rms < target_rms:
-        wavs = [w * (audio_rms / target_rms) for w in wavs]
 
     if streaming:
+        # per-chunk generation so audio starts flowing after the FIRST chunk
+        # finishes (the reference yields chunk-by-chunk, utils_infer.py:528-538;
+        # one batched graph over all chunks would hold TTFB hostage to the
+        # whole utterance).  A 1-worker executor generates chunk i+1 while
+        # chunk i streams; under a BatchedEngine concurrent chunks still merge.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_chunk(i):
+            _, ws, gfs = engine.generate_batch_from_wav(
+                wav, [ids_list[i]], [durations[i]],
+                seeds=None if seeds is None else [seeds[i]], fetch_mel=False,
+            )
+            if not ws and any(gf > 0 for gf in gfs):
+                raise RuntimeError(_no_vocoder_msg)
+            return ws
+
         def gen():
-            for w in wavs:
-                for j in range(0, len(w), chunk_size):
-                    yield w[j : j + chunk_size], sr_t
+            ex = ThreadPoolExecutor(max_workers=1)
+            try:
+                futs = [ex.submit(run_chunk, i) for i in range(len(texts))]
+                for f in futs:
+                    for w in f.result():
+                        if 0 < audio_rms < target_rms:
+                            w = w * (audio_rms / target_rms)
+                        for j in range(0, len(w), chunk_size):
+                            yield w[j : j + chunk_size], sr_t
+            finally:
+                ex.shutdown(wait=False)
+
         return gen()
+
+    # fused path: ref-mel extraction happens inside the same compiled graph
+    mels, wavs, gen_frames = engine.generate_batch_from_wav(
+        wav, ids_list, durations, seeds=seeds, fetch_mel=True,
+    )
+    if not wavs and any(g > 0 for g in gen_frames):
+        raise RuntimeError(_no_vocoder_msg)
+    if 0 < audio_rms < target_rms:
+        wavs = [w * (audio_rms / target_rms) for w in wavs]
 
     final = cross_fade_stitch(wavs, opts.cross_fade_duration, sr_t)
     # combined generated-region mel, [d, n] layout like the reference

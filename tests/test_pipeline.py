@@ -123,6 +123,34 @@ def test_infer_process_end_to_end():
     assert spec is not None and spec.shape[0] == 100
 
 
+def test_streaming_yields_per_chunk_and_matches_batched():
+    """streaming=True must yield audio per chunk (first chunk alone — TTFB is
+    one chunk, not the whole utterance) and, thanks to per-sample seeding,
+    concatenate to exactly the non-streaming result at cross_fade 0
+    (reference streams chunk-by-chunk, utils_infer.py:528-538)."""
+    from f5_tts_tpu.infer.pipeline import infer_batch_process
+
+    cfg, params, voc, voc_cfg = tiny_model()
+    eng = InferenceEngine(params, cfg, vocoder_params=V.init(jax.random.PRNGKey(2), V.VocosConfig()),
+                          options=EngineOptions(nfe_step=2))
+    vocab, _ = get_tokenizer(None, "char")
+    sr = 24000
+    ref_wav = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+    chunks_txt = ["first sentence here.", "and a second one.", "then a third."]
+    opts = PipelineOptions(seed=7, cross_fade_duration=0.0)
+
+    want, _, _ = infer_batch_process(
+        eng, (ref_wav, sr), "a tone. ", chunks_txt, vocab, tokenizer="char", opts=opts)
+
+    pieces = list(infer_batch_process(
+        eng, (ref_wav, sr), "a tone. ", chunks_txt, vocab, tokenizer="char",
+        opts=opts, streaming=True, chunk_size=2048))
+    got = np.concatenate([p for p, _sr in pieces])
+    assert all(s == sr for _p, s in pieces)
+    assert len(pieces) > 3  # chunked into <=2048-sample packets
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
 def test_tokenizer_vocab_and_ids():
     vocab, size = get_tokenizer(None, "pinyin")
     assert size == 2545 and vocab[" "] == 0
