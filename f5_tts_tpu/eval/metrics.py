@@ -122,7 +122,6 @@ def run_sim(items: list[tuple[str, str, str]], ckpt_path: str):
     results = []
     with torch.no_grad():
         for utt, gen_wav, prompt_wav in items:
-            sims = []
             w1, sr1 = load_wav(gen_wav)
             w2, sr2 = load_wav(prompt_wav)
             w1 = resample(w1, sr1, 16_000)

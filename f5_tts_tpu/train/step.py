@@ -24,7 +24,11 @@ class OptimConfig:
 
     learning_rate: float = 7.5e-5
     num_warmup_updates: int = 20_000
-    total_updates: int = 1_000_000
+    # None -> the Trainer derives the decay horizon from the actual run
+    # length (epochs x batches / grad_accum), exactly like the reference
+    # (trainer.py:316-326 SequentialLR over total_updates - warmup); a
+    # pinned int is used as-is
+    total_updates: int | None = None
     max_grad_norm: float = 1.0
     betas: tuple[float, float] = (0.9, 0.999)
     eps: float = 1e-8
@@ -45,9 +49,10 @@ class OptimConfig:
 
 def lr_schedule(cfg: OptimConfig) -> optax.Schedule:
     """Linear warmup then linear decay to zero (reference trainer.py:316-326)."""
+    total = cfg.total_updates if cfg.total_updates is not None else 1_000_000
     warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.num_warmup_updates)
     decay = optax.linear_schedule(
-        cfg.learning_rate, 0.0, max(cfg.total_updates - cfg.num_warmup_updates, 1)
+        cfg.learning_rate, 0.0, max(total - cfg.num_warmup_updates, 1)
     )
     return optax.join_schedules([warmup, decay], [cfg.num_warmup_updates])
 

@@ -130,11 +130,17 @@ class Trainer:
             block_scan = make_dit_block_scan(
                 model_cfg.arch, mesh, self.pipeline_microbatches, backend=step_backend
             )
-        self._step_fn = jax.jit(
+        self._step_extras = dict(
+            backend=step_backend, block_scan=block_scan,
+            activation_constraint=activation_constraint,
+        )
+        self._step_fn = self._build_step_fn(opt_cfg)
+
+    def _build_step_fn(self, opt_cfg: OptimConfig):
+        return jax.jit(
             functools.partial(
-                train_step, arch_cfg=model_cfg.arch, opt_cfg=opt_cfg, backend=step_backend,
-                block_scan=block_scan, activation_constraint=activation_constraint,
-                mel_cfg=model_cfg.mel,
+                train_step, arch_cfg=self.model_cfg.arch, opt_cfg=opt_cfg,
+                mel_cfg=self.model_cfg.mel, **self._step_extras,
             ),
             donate_argnums=(0, 1, 2, 3),
         )
@@ -260,6 +266,34 @@ class Trainer:
                 _signal.signal(_signal.SIGTERM, old_sigterm)
 
     def _train_impl(self, params, dataset, epochs, resume, progress, preempt):
+        if self.batch_size_type == "sample":
+            from f5_tts_tpu.train.dataset import SampleBatchSampler
+
+            sampler = SampleBatchSampler(
+                dataset, batch_size=self.batch_size_per_device, random_seed=self.seed
+            )
+        else:
+            sampler = DynamicBatchSampler(
+                dataset,
+                frames_threshold=self.batch_size_per_device,
+                max_samples=self.max_samples,
+                random_seed=self.seed,
+            )
+        if self.opt_cfg.total_updates is None:
+            # derive the LR decay horizon from the actual run length, like the
+            # reference (trainer.py:316-326: SequentialLR decays to zero over
+            # ceil(batches/accum)*epochs - warmup).  A pinned total_updates
+            # (every test, long pretrains with planned extensions) is used as-is.
+            import dataclasses as _dc
+            import math as _math
+
+            k = max(self.opt_cfg.grad_accumulation_steps, 1)
+            total = max(
+                _math.ceil(len(sampler) / k) * max(epochs, 1),
+                self.opt_cfg.num_warmup_updates + 1,
+            )
+            self.opt_cfg = _dc.replace(self.opt_cfg, total_updates=total)
+            self._step_fn = self._build_step_fn(self.opt_cfg)
         if self.mesh is not None and (self.tensor_parallel or self.pipeline_microbatches):
             from f5_tts_tpu.parallel.mesh import backbone_param_specs, shard_params
 
@@ -300,19 +334,6 @@ class Trainer:
         else:
             bsh = None
 
-        if self.batch_size_type == "sample":
-            from f5_tts_tpu.train.dataset import SampleBatchSampler
-
-            sampler = SampleBatchSampler(
-                dataset, batch_size=self.batch_size_per_device, random_seed=self.seed
-            )
-        else:
-            sampler = DynamicBatchSampler(
-                dataset,
-                frames_threshold=self.batch_size_per_device,
-                max_samples=self.max_samples,
-                random_seed=self.seed,
-            )
         key = jax.random.PRNGKey(self.seed)
         # state["step"] counts MICRO-steps; "update" counts optimizer updates
         # (= micro // k under grad accumulation — reference trainer.py:63-68

@@ -95,6 +95,35 @@ def test_trainer_loop_and_resume(tmp_path):
     assert upd2 == upd1  # nothing left to do in epoch 0 -> restored and returned
 
 
+def test_total_updates_derived_from_run_length(tmp_path):
+    """Default OptimConfig (total_updates=None) must decay the LR over the
+    ACTUAL run length like the reference (trainer.py:316-326) — not over a
+    fixed 1M-update horizon that leaves short finetunes at constant LR."""
+    import math
+
+    from f5_tts_tpu.train.step import lr_schedule
+
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16), tokenizer="byte")
+    ds = make_dataset(12)
+    opt_cfg = OptimConfig(num_warmup_updates=2)  # total_updates left to derive
+    trainer = Trainer(model_cfg, None, opt_cfg, ckpt_dir=str(tmp_path / "ck"),
+                      batch_size_per_device=400, max_samples=4,
+                      save_per_updates=100, last_per_updates=100, seed=0)
+    params = D.init(jax.random.PRNGKey(0), arch)
+    epochs = 3
+    n_batches = len(DynamicBatchSampler(ds, 400, 4, 0))
+    _, _, upd = trainer.train(params, ds, epochs=epochs, resume=False)
+    want_total = max(math.ceil(n_batches) * epochs, 3)
+    assert trainer.opt_cfg.total_updates == want_total
+    assert upd == n_batches * epochs
+    # the derived schedule reaches ~0 at the end of the run
+    sched = lr_schedule(trainer.opt_cfg)
+    assert float(sched(want_total)) <= 1e-9
+    assert float(sched(want_total // 2)) > 0
+
+
 def test_trainer_loop_with_mesh(tmp_path):
     from f5_tts_tpu.parallel.mesh import make_mesh
 
