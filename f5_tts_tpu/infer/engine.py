@@ -51,6 +51,13 @@ class EngineOptions:
     # W8A8 int8 DiT block linears (Pallas kernel, ops/quant.py) — experimental
     # serving option, quality-gate with scripts/quant_ab.py before production
     quantize: bool = False
+    # time-parallel (Picard) ODE integration: solve W Euler steps per sweep as
+    # one W*b-row forward instead of W sequential model calls (models/cfm.py
+    # _picard_integrate).  0 = sequential NFE scan (default).  A/B with
+    # scripts/picard_ab.py before enabling — a latency lever for multi-chip
+    # meshes (the window rows shard over `data`), not a single-chip win.
+    time_parallel_window: int = 0
+    picard_tol: float = 1e-3
 
     def sample_opts(self) -> cfm.SampleOptions:
         return cfm.SampleOptions(
@@ -59,6 +66,8 @@ class EngineOptions:
             sway_sampling_coef=self.sway_sampling_coef,
             use_epss=self.use_epss,
             ode_method=self.ode_method,
+            time_parallel_window=self.time_parallel_window,
+            picard_tol=self.picard_tol,
         )
 
 

@@ -70,10 +70,89 @@ class SampleOptions:
     # so ~41% of DiT weights drop out of the per-step reads); euler-only,
     # DiT-only, numerically identical up to matmul reassociation
     precompute_adaln: bool = True
+    # time-parallel (Picard / parallel-in-time) ODE integration: solve a
+    # sliding window of W Euler steps as one batched fixed-point iteration
+    # instead of W sequential model calls.  The W per-step states ride the
+    # BATCH axis of a single forward (W*b rows), so on a device mesh the ODE's
+    # time dimension data-parallelizes over chips — a latency axis that
+    # sequential NFE scanning cannot use (the reference has no counterpart;
+    # the sweep recurrence is Shih et al. 2023 "Parallel Sampling of
+    # Diffusion Models" adapted to the CFM Euler grid).  0 = sequential scan.
+    time_parallel_window: int = 0
+    # sweep convergence tolerance: a window entry is frozen when its masked
+    # RMS change between sweeps falls below this (mel-log units).  The leading
+    # entry of each sweep is the exact Euler successor of a frozen state, so
+    # the iteration always terminates in <= steps sweeps; tol only controls
+    # how much of the tail is accepted early.
+    picard_tol: float = 1e-3
 
 
 def lens_to_mask(lens: jax.Array, length: int) -> jax.Array:
     return jnp.arange(length)[None, :] < lens[:, None]
+
+
+def _picard_integrate(velocity_rows, y0, ts, W: int, tol: float, mask, rows_constraint=None):
+    """Parallel-in-time Euler: solve a sliding window of W steps per sweep.
+
+    Fixed-point recurrence (Picard iteration over the Euler grid — the
+    deterministic-ODE case of Shih et al. 2023, "Parallel Sampling of
+    Diffusion Models"):
+
+        Y'[s+j+1] = Y[s] + sum_{m<=j} dt_{s+m} * v(Y[s+m], t_{s+m})
+
+    All W velocity evaluations of a sweep run as ONE forward with the window
+    on the batch axis, so (a) the matmuls see W× more rows (MXU efficiency
+    rises with M) and (b) under a mesh the rows shard over ``data`` — the ODE
+    time axis becomes a parallelism axis.  The leading window entry is always
+    the exact Euler successor of the frozen prefix, so each sweep freezes >= 1
+    step and the loop terminates in <= steps sweeps (tol only accelerates the
+    tail).  tol -> 0 reproduces the sequential Euler trajectory exactly (same
+    grid, same evaluation points).
+
+    Returns (y_final, {"sweeps": int32 scalar}).
+    """
+    b, n, d = y0.shape
+    T = len(ts) - 1
+    W = min(W, T)
+    dtype = y0.dtype
+    ts_head = jnp.asarray(ts[:-1], jnp.float32)
+    dts = jnp.asarray(ts[1:] - ts[:-1], jnp.float32)
+    ts_pad = jnp.concatenate([ts_head, jnp.full((W,), float(ts[-1]), jnp.float32)])
+    dts_pad = jnp.concatenate([dts, jnp.zeros((W,), jnp.float32)])  # dt=0: no-op tail rows
+    fmask = mask[None, :, :, None].astype(jnp.float32)  # [1, b, n, 1]
+    denom = jnp.maximum(jnp.sum(fmask) * d, 1.0)
+    # state buffer Y[i] ~ y(t_i), padded so every window slice is in bounds
+    Y0 = jnp.broadcast_to(y0[None], (T + W + 1, b, n, d)).astype(dtype)
+
+    def body(carry):
+        Y, s, sweeps = carry
+        Xw = jax.lax.dynamic_slice_in_dim(Y, s, W, axis=0)
+        tw = jax.lax.dynamic_slice_in_dim(ts_pad, s, W)
+        dw = jax.lax.dynamic_slice_in_dim(dts_pad, s, W)
+        x_rows = Xw.reshape(W * b, n, d)
+        if rows_constraint is not None:
+            x_rows = rows_constraint(x_rows)
+        v = velocity_rows(x_rows, jnp.repeat(tw, b)).reshape(W, b, n, d)
+        incr = jnp.cumsum(dw[:, None, None, None].astype(dtype) * v, axis=0)
+        base = jax.lax.dynamic_slice_in_dim(Y, s, 1, axis=0)  # frozen Y[s]
+        Ynew = base + incr  # new guesses for Y[s+1 .. s+W]
+        Yold = jax.lax.dynamic_slice_in_dim(Y, s + 1, W, axis=0)
+        diff = (Ynew - Yold).astype(jnp.float32) * fmask
+        err = jnp.sqrt(jnp.sum(diff * diff, axis=(1, 2, 3)) / denom)  # [W]
+        # entry 0 is exact (successor of a frozen state); freeze the longest
+        # converged prefix after it
+        adv = 1 + jnp.sum(jnp.cumprod((err[1:] < tol).astype(jnp.int32)))
+        Y = jax.lax.dynamic_update_slice_in_dim(Y, Ynew.astype(dtype), s + 1, axis=0)
+        # warm-start entries beyond the window from the sweep frontier so the
+        # window never slides onto a cold y0 guess
+        idx = jnp.arange(T + W + 1)[:, None, None, None]
+        Y = jnp.where(idx > s + W, Ynew[-1][None].astype(dtype), Y)
+        return Y, s + adv, sweeps + 1
+
+    Y, _, sweeps = jax.lax.while_loop(
+        lambda c: c[1] < T, body, (Y0, jnp.int32(0), jnp.int32(0))
+    )
+    return Y[T], {"sweeps": sweeps, "window": jnp.int32(W)}
 
 
 def sample(
@@ -92,6 +171,11 @@ def sample(
     backend: str = "auto",
     block_scan=None,  # pipeline-parallel block schedule (parallel/pipeline.py)
     activation_constraint=None,  # sequence-parallel sharding pin (parallel/sequence.py)
+    time_rows_constraint=None,  # time-parallel mode: sharding pin applied to the
+    # [W*b, n, d] window rows (e.g. PartitionSpec('data') over a mesh, so the
+    # ODE's time axis data-parallelizes over chips)
+    return_info: bool = False,  # also return {"sweeps": ...} diagnostics
+    # (time-parallel mode only)
 ):
     """CFM.sample (cfm.py:83-229) — returns generated mel [b, n, d] (frames
     beyond ``duration`` zeroed; the ref region is overwritten with ``cond``).
@@ -176,6 +260,42 @@ def sample(
     # the step timesteps are known ahead of the scan: precompute every step's
     # AdaLN modulations once so the 22 adaln matmuls (41% of the weights)
     # drop out of the per-step loop (models/dit.py precompute_adaln)
+    if opts.time_parallel_window > 0:
+        # ---- parallel-in-time integration (see _picard_integrate) --------
+        assert opts.ode_method == "euler", "time-parallel integration is euler-only"
+        assert not return_trajectory, "trajectory capture needs the sequential scan"
+        W = min(opts.time_parallel_window, len(ts) - 1)
+        # conditioning tiled once onto the window axis; per-row times make the
+        # backbone evaluate W different ODE steps in one forward
+        cond_r = jnp.tile(step_cond, (W, 1, 1))
+        te_cond_r = jnp.tile(te_cond, (W, 1, 1))
+        te_uncond_r = jnp.tile(te_uncond, (W, 1, 1)) if use_cfg else None
+        mask_r = jnp.tile(mask, (W, 1))
+        extra_r = dict(extra)
+        if "c_mask" in extra_r:
+            extra_r["c_mask"] = jnp.tile(extra_r["c_mask"], (W, 1))
+
+        def velocity_rows(x_rows, t_rows):
+            t_rows = t_rows.astype(compute_dtype)
+            if use_cfg:
+                pred, null = bb.forward_cfg(
+                    params, arch_cfg, x_rows, cond_r, te_cond_r, te_uncond_r,
+                    t_rows, mask=mask_r, backend=backend, **extra_r,
+                )
+                return pred + (pred - null) * opts.cfg_strength
+            return bb.forward(
+                params, arch_cfg, x_rows, cond_r, te_cond_r, t_rows,
+                mask=mask_r, backend=backend, **extra_r,
+            )
+
+        y, info = _picard_integrate(
+            velocity_rows, y0, ts, W, opts.picard_tol, mask,
+            rows_constraint=time_rows_constraint,
+        )
+        out = jnp.where(cond_mask[..., None], cond, y)
+        out = jnp.where(mask[..., None], out, 0.0)
+        return (out, info) if return_info else out
+
     tables = None
     if (
         opts.precompute_adaln
@@ -210,6 +330,8 @@ def sample(
     out = jnp.where(mask[..., None], out, 0.0)
     if return_trajectory:
         return out, jnp.concatenate([y0[None], traj], axis=0)
+    if return_info:  # sequential scan: one model eval per step, by definition
+        return out, {"sweeps": jnp.int32(len(ts) - 1), "window": jnp.int32(1)}
     return out
 
 

@@ -1,0 +1,152 @@
+"""Time-parallel (Picard / parallel-in-time) ODE sampling.
+
+The sliding-window fixed-point iteration in ``cfm._picard_integrate`` solves
+the SAME Euler grid as the sequential ``lax.scan`` — with tol -> 0 its fixed
+point IS the sequential trajectory — so parity is an exact property, not a
+statistical one (modulo fp reassociation of the window cumsum).  No reference
+counterpart (the reference dispatches one TRT engine call per ODE step,
+runtime/triton_trtllm/f5_tts_trtllm.py:296-372, strictly sequentially); the
+recurrence is Shih et al. 2023 "Parallel Sampling of Diffusion Models"
+adapted to the deterministic CFM Euler grid.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from f5_tts_tpu.models import cfm as C
+from tests.test_dit import SMALL, make_params
+
+
+def _problem(seed=7, b=2, n=48, nt=10):
+    rng = np.random.default_rng(seed)
+    cfg = SMALL
+    cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    lens = np.array([12, 9][:b], np.int32)
+    for i, ln in enumerate(lens):
+        cond[i, ln:] = 0.0
+    text = rng.integers(0, cfg.text_num_embeds, (b, nt)).astype(np.int32)
+    text[-1, 6:] = -1
+    duration = np.array([40, 30][:b], np.int32)
+    noise = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    return (
+        jnp.asarray(cond), jnp.asarray(text), jnp.asarray(duration),
+        jnp.asarray(noise), jnp.asarray(lens),
+    )
+
+
+def _run(params, args, steps, cfg_strength=2.0, window=0, tol=1e-3, **kw):
+    cond, text, duration, noise, lens = args
+    opts = C.SampleOptions(
+        steps=steps, cfg_strength=cfg_strength, precompute_adaln=False,
+        time_parallel_window=window, picard_tol=tol,
+    )
+    return C.sample(
+        params, SMALL, cond, text, duration, noise, lens=lens, opts=opts,
+        backend="sdpa", **kw,
+    )
+
+
+def test_picard_tol_zero_is_exact_euler():
+    """tol=0 never early-accepts, so every frozen entry is the exact Euler
+    successor of a frozen prefix: output == sequential scan, sweeps == steps."""
+    params = make_params(SMALL)
+    args = _problem()
+    seq = np.asarray(_run(params, args, steps=8))
+    par, info = _run(
+        params, args, steps=8, window=4, tol=0.0, return_info=True,
+    )
+    np.testing.assert_allclose(np.asarray(par), seq, atol=3e-4)
+    assert int(info["sweeps"]) == 8  # adv == 1 per sweep at tol 0
+
+
+def test_picard_huge_tol_advances_full_windows():
+    """tol=inf accepts every window entry on first evaluation: the advance
+    arithmetic must stride exactly ceil(steps / W) sweeps."""
+    params = make_params(SMALL)
+    args = _problem(seed=9)
+    for steps, w, want in ((8, 4, 2), (7, 4, 2), (8, 3, 3), (6, 8, 1)):
+        _, info = _run(
+            params, args, steps=steps, window=w, tol=float("inf"), return_info=True,
+        )
+        assert int(info["sweeps"]) == want, (steps, w, int(info["sweeps"]))
+
+
+def test_picard_tolerance_bounds_drift():
+    """A practical tol early-accepts tail entries; the result must stay within
+    an O(steps * tol) band of the sequential trajectory."""
+    params = make_params(SMALL)
+    args = _problem(seed=11)
+    tol = 1e-3
+    seq = np.asarray(_run(params, args, steps=16))
+    par, info = _run(
+        params, args, steps=16, window=8, tol=tol, return_info=True,
+    )
+    err = np.sqrt(np.mean((np.asarray(par) - seq) ** 2))
+    assert err < 60 * tol, err
+    assert int(info["sweeps"]) <= 16
+
+
+def test_picard_no_cfg_path():
+    params = make_params(SMALL)
+    args = _problem(seed=13)
+    seq = np.asarray(_run(params, args, steps=6, cfg_strength=0.0))
+    par = _run(
+        params, args, steps=6, cfg_strength=0.0, window=3, tol=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(par), seq, atol=3e-4)
+
+
+def test_engine_time_parallel_option():
+    """EngineOptions(time_parallel_window=...) plumbs through to the fused
+    sample+vocode graph: tol=0 output matches the sequential engine."""
+    import jax as _jax
+
+    from f5_tts_tpu.infer.engine import EngineOptions, InferenceEngine
+    from f5_tts_tpu.models import vocos as V
+    from tests.test_pipeline import tiny_model
+
+    cfg, params, _, _ = tiny_model()
+    voc = V.init(_jax.random.PRNGKey(1), V.VocosConfig())
+    rng = np.random.default_rng(3)
+    ref = rng.standard_normal((40, cfg.mel.n_mel_channels)).astype(np.float32)
+    text = rng.integers(0, 200, size=30).astype(np.int32)
+    outs = {}
+    for w in (0, 2):
+        eng = InferenceEngine(
+            params, cfg, vocoder_params=voc,
+            options=EngineOptions(nfe_step=4, time_parallel_window=w, picard_tol=0.0),
+        )
+        _, wavs, _ = eng.generate_batch([ref], [text], [200], seeds=[0], fetch_mel=False)
+        outs[w] = wavs[0]
+    np.testing.assert_allclose(outs[2], outs[0], atol=2e-4)
+
+
+def test_picard_window_rows_shard_over_data_axis():
+    """The W*b window rows pin to the ``data`` mesh axis: the ODE's TIME
+    dimension runs data-parallel over 8 devices, output unchanged."""
+    params = make_params(SMALL)
+    args = _problem(seed=17)
+    host = np.asarray(
+        _run(params, args, steps=8, window=4, tol=0.0)
+    )
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    rows_sh = NamedSharding(mesh, P("data"))
+    cond, text, duration, noise, lens = args
+    opts = C.SampleOptions(
+        steps=8, precompute_adaln=False, time_parallel_window=4, picard_tol=0.0
+    )
+
+    @jax.jit
+    def f(params, cond, text, duration, noise, lens):
+        return C.sample(
+            params, SMALL, cond, text, duration, noise, lens=lens, opts=opts,
+            backend="sdpa",
+            time_rows_constraint=lambda x: jax.lax.with_sharding_constraint(x, rows_sh),
+        )
+
+    with mesh:
+        out = np.asarray(f(params, cond, text, duration, noise, lens))
+    np.testing.assert_allclose(out, host, atol=3e-4)
