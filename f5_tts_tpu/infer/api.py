@@ -60,13 +60,19 @@ class F5TTS:
             "fixed-step solvers only (matches reference torchdiffeq usage)"
         )
         self.hf_cache_dir = hf_cache_dir  # also used by the ASR fallback in infer()
-        if model_cfg:  # custom-arch dict, flat reference format (infer_gradio.py:1037-1068)
+        if isinstance(model_cfg, str):  # YAML config path (reference infer_cli.py
+            # -mc/--model_cfg: OmegaConf.load of a configs/*.yaml, :268-272)
+            from f5_tts_tpu.train.cli import parse_simple_yaml
+
+            model_cfg = configs_mod.from_yaml_dict(parse_simple_yaml(model_cfg).get("model", {}))
+        elif isinstance(model_cfg, dict):  # custom-arch dict, flat reference
+            # format (infer_gradio.py:1037-1068)
             arch_kw = dict(model_cfg)
             backbone_name = arch_kw.pop("backbone", "DiT")
             model_cfg = configs_mod.from_yaml_dict(
                 {"name": model, "backbone": backbone_name, "arch": arch_kw}
             )
-        else:
+        elif not model_cfg:
             model_cfg: ModelConfig = MODEL_CONFIGS[model]
         self.vocab, vocab_size = get_tokenizer(vocab_file or None, model_cfg.tokenizer)
         model_cfg = with_vocab_size(model_cfg, vocab_size)

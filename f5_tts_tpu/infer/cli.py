@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-c", "--config", type=str, default="", help="TOML config path")
     p.add_argument("-m", "--model", type=str)
+    p.add_argument("-mc", "--model_cfg", type=str,
+                   help="custom model-arch YAML (reference configs/*.yaml schema)")
     p.add_argument("-p", "--ckpt_file", type=str)
     p.add_argument("-v", "--vocab_file", type=str)
     p.add_argument("-r", "--ref_audio", type=str)
@@ -37,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output_dir", type=str)
     p.add_argument("-w", "--output_file", type=str)
     p.add_argument("--save_chunk", action="store_true")
+    p.add_argument("--no_legacy_text", action="store_false", dest="use_legacy_text",
+                   help="keep unicode chunk file names instead of lossy ASCII "
+                   "transliterations (reference infer_cli.py:116-120)")
     p.add_argument("--remove_silence", action="store_true")
     p.add_argument("--vocoder_name", type=str, choices=["vocos", "bigvgan"])
     p.add_argument("--vocoder_local_path", type=str)
@@ -51,6 +56,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init_random", action="store_true",
                    help="random weights (smoke testing without a checkpoint)")
     return p
+
+
+def _ascii_transliterate(s: str) -> str:
+    """Lossy ASCII file-name form (the reference uses ``unidecode``,
+    infer_cli.py:365-366); prefer the library when installed, else NFKD-fold
+    and drop what has no ASCII decomposition."""
+    try:
+        from unidecode import unidecode
+
+        return unidecode(s)
+    except ImportError:
+        import unicodedata
+
+        return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode()
 
 
 def load_config(args) -> dict:
@@ -84,6 +103,7 @@ def main(argv=None) -> str | None:
         device=opt("device"),
         nfe_step=int(opt("nfe_step", P.NFE_STEP)),
         init_random=bool(opt("init_random", False)),
+        model_cfg=opt("model_cfg") or None,
     )
     cfg_strength = float(opt("cfg_strength", P.CFG_STRENGTH))
     sway = float(opt("sway_sampling_coef", P.SWAY_SAMPLING_COEF))
@@ -125,12 +145,12 @@ def main(argv=None) -> str | None:
             ),
         )
         if out_wav is not None:
-            segments.append(out_wav)
+            segments.append((out_wav, text))
 
     if not segments:
         print("no audio generated")
         return None
-    final = np.concatenate(segments)
+    final = np.concatenate([w for w, _ in segments])
     out_dir = opt("output_dir", "tests")
     os.makedirs(out_dir, exist_ok=True)
     out_file = opt("output_file", f"infer_cli_{datetime.now().strftime('%Y%m%d_%H%M%S')}.wav")
@@ -141,10 +161,19 @@ def main(argv=None) -> str | None:
         final = remove_silence_edges(final, tts.target_sample_rate)
     save_wav(path, final, tts.target_sample_rate)
     if bool(opt("save_chunk", False)):
+        # chunk files carry their text (reference infer_cli.py:362-370:
+        # "{i}_{text}.wav", truncated at 200 chars; legacy mode transliterates
+        # to ASCII for .wav-unfriendly filesystems)
+        # not via opt(): store_false means an explicit False IS the signal
+        legacy = args.use_legacy_text and not config.get("no_legacy_text", False)
         chunk_dir = os.path.join(out_dir, f"{os.path.splitext(out_file)[0]}_chunks")
         os.makedirs(chunk_dir, exist_ok=True)
-        for i, seg in enumerate(segments):
-            save_wav(os.path.join(chunk_dir, f"{i}.wav"), seg, tts.target_sample_rate)
+        for i, (seg, seg_text) in enumerate(segments):
+            name = seg_text[:200] + " ... " if len(seg_text) > 200 else seg_text
+            if legacy:
+                name = _ascii_transliterate(name)
+            name = re.sub(r"[/\\\0]", "_", name)
+            save_wav(os.path.join(chunk_dir, f"{i}_{name}.wav"), seg, tts.target_sample_rate)
     print(path)
     return path
 

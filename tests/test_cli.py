@@ -37,6 +37,34 @@ def test_infer_cli_end_to_end(ref_wav_path, tmp_path):
     assert sr == 24000 and len(wav) > 1000
 
 
+def test_infer_cli_model_cfg_yaml_and_chunks(ref_wav_path, tmp_path):
+    """-mc/--model_cfg loads a custom arch YAML (reference infer_cli.py:268-272)
+    and --save_chunk names files '{i}_{text}.wav' with ASCII transliteration
+    unless --no_legacy_text (reference :362-370)."""
+    from f5_tts_tpu.infer.cli import main
+
+    yaml_path = tmp_path / "tiny.yaml"
+    yaml_path.write_text(
+        "model:\n  name: TinyCustom\n  backbone: DiT\n  tokenizer: pinyin\n"
+        "  arch:\n    dim: 64\n    depth: 2\n    heads: 4\n    dim_head: 16\n"
+        "    ff_mult: 2\n    text_dim: 24\n    text_num_embeds: 200\n"
+        "    conv_layers: 1\n    mel_dim: 100\n"
+    )
+    out = main([
+        "--model_cfg", str(yaml_path), "--init_random",
+        "--ref_audio", ref_wav_path,
+        "--ref_text", "a simple tone reference.",
+        "--gen_text", "chunk naming check, voilà.",
+        "--output_dir", str(tmp_path), "--output_file", "mc.wav",
+        "--nfe_step", "2", "--save_chunk",
+    ])
+    assert out is not None and os.path.isfile(out)
+    chunk_dir = tmp_path / "mc_chunks"
+    names = sorted(os.listdir(chunk_dir))
+    assert names and names[0].startswith("0_") and names[0].endswith(".wav")
+    assert "voila" in names[0] and "voilà" not in names[0]  # legacy ASCII default
+
+
 def test_infer_cli_sampler_flags_take_effect(ref_wav_path, tmp_path, monkeypatch):
     """--cfg_strength / --sway_sampling_coef must reach the engine (they were
     once parsed-and-ignored), including explicit zeros (0.0 == False pitfall)."""
