@@ -150,3 +150,32 @@ def test_picard_window_rows_shard_over_data_axis():
     with mesh:
         out = np.asarray(f(params, cond, text, duration, noise, lens))
     np.testing.assert_allclose(out, host, atol=3e-4)
+
+
+def test_picard_composes_with_tensor_parallel():
+    """time x tp on one mesh: window rows on `data`, Megatron weight shards on
+    `model` — GSPMD inserts the all-reduces, output matches the host result."""
+    from f5_tts_tpu.parallel.mesh import dit_param_specs, make_mesh, shard_params
+
+    params = make_params(SMALL)
+    args = _problem(seed=19)
+    host = np.asarray(_run(params, args, steps=8, window=4, tol=0.0))
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params(params, mesh, dit_param_specs(params))
+    rows_sh = NamedSharding(mesh, P("data"))
+    cond, text, duration, noise, lens = args
+    opts = C.SampleOptions(
+        steps=8, precompute_adaln=False, time_parallel_window=4, picard_tol=0.0
+    )
+
+    @jax.jit
+    def f(params, cond, text, duration, noise, lens):
+        return C.sample(
+            params, SMALL, cond, text, duration, noise, lens=lens, opts=opts,
+            backend="sdpa",
+            time_rows_constraint=lambda x: jax.lax.with_sharding_constraint(x, rows_sh),
+        )
+
+    with mesh:
+        out = np.asarray(f(sharded, cond, text, duration, noise, lens))
+    np.testing.assert_allclose(out, host, atol=3e-4)
