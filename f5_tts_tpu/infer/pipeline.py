@@ -160,7 +160,10 @@ def infer_batch_process(
                         for j in range(0, len(w), chunk_size):
                             yield w[j : j + chunk_size], sr_t
             finally:
-                ex.shutdown(wait=False)
+                # cancel queued chunks too: a consumer that abandons the
+                # stream early (client disconnect) must not keep the device
+                # busy synthesizing audio nobody will read
+                ex.shutdown(wait=False, cancel_futures=True)
 
         return gen()
 
