@@ -233,6 +233,14 @@ class InferenceEngine:
         # callables (it keys the jit cache)
         self.parallel_hooks = (None, None)
 
+    # device-call seams: runtime/aot.AotEngine overrides these to dispatch to
+    # pre-built jax.export artifacts instead of tracing + jit-compiling
+    def _call_sample_and_decode(self, *args, **kw):
+        return _sample_and_decode(*args, **kw)
+
+    def _call_sample_and_decode_from_wav(self, *args, **kw):
+        return _sample_and_decode_from_wav(*args, **kw)
+
 
     def _trim_wavs(self, wav, duration, lens):
         """Dequantize the int16 device waveform and trim each row to its
@@ -306,7 +314,7 @@ class InferenceEngine:
         duration = _clamp_duration(np.asarray(durations, np.int32), text_ids, lens, n)
         if seeds is None:
             seeds = list(np.random.randint(0, 2**31 - 1, size=b))
-        mel_out, wav = _sample_and_decode(
+        mel_out, wav = self._call_sample_and_decode(
             self.dit_params,
             self.vocoder_params,
             self.model_cfg,
@@ -358,7 +366,7 @@ class InferenceEngine:
         duration = _clamp_duration(np.asarray(durations, np.int32), text_ids, lens, n)
         if seeds is None:
             seeds = list(np.random.randint(0, 2**31 - 1, size=b))
-        mel_out, wav = _sample_and_decode_from_wav(
+        mel_out, wav = self._call_sample_and_decode_from_wav(
             self.dit_params,
             self.vocoder_params,
             self.model_cfg,
@@ -416,7 +424,7 @@ class InferenceEngine:
         duration = _clamp_duration(np.asarray(durations, np.int32), text_ids, lens, n)
         if seeds is None:
             seeds = list(np.random.randint(0, 2**31 - 1, size=b))
-        mel_out, wav = _sample_and_decode_from_wav(
+        mel_out, wav = self._call_sample_and_decode_from_wav(
             self.dit_params,
             self.vocoder_params,
             self.model_cfg,

@@ -1,0 +1,239 @@
+"""AOT engine artifacts: build serving graphs once, load them anywhere.
+
+TPU-native analog of the reference's TRT-LLM engine build + vocoder .plan
+export (runtime/triton_trtllm/run.sh stages 1-3: convert_checkpoint +
+trtllm-build + export_vocoder_to_onnx): the fully fused text->waveform graph
+(ref-mel extraction, both CFG streams, the whole NFE loop, vocoder, int16
+wire format) is traced ONCE per (batch, bucket) operating point, lowered to
+StableHLO with ``jax.export``, and serialized to disk.  Differences from the
+TRT pipeline, by design:
+
+- **cross-platform build**: artifacts targeting TPU are built on a CPU-only
+  host (jax.export cross-platform lowering covers the Pallas Mosaic kernels
+  too) — no TPU time spent on engine builds, unlike trtllm-build which needs
+  the target GPU.
+- **weights are call arguments, not constants**: a TRT engine embeds weights;
+  here the artifact stays a few MB and any checkpoint with the same shapes
+  loads into it (finetunes redeploy without a rebuild).  Params are fed at
+  call time, exactly like the live engine.
+- loading never re-traces Python model code: ``AotEngine`` deserializes the
+  StableHLO and XLA compiles it directly for the local chip (the persistent
+  compilation cache then makes restarts instant).
+
+Usage:
+    engine = InferenceEngine(params, cfg, vocoder_params=voc)      # build box
+    export_engine(engine, "artifacts/", default_specs())           # once
+    ...
+    aot = AotEngine("artifacts/", params, cfg, vocoder_params=voc) # serving box
+    mels, wavs, gf = aot.generate_batch(...)                       # same surface
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5_tts_tpu.infer.engine import (
+    DEFAULT_BUCKETS,
+    EngineOptions,
+    InferenceEngine,
+    _sample_and_decode,
+    _sample_and_decode_from_wav,
+)
+
+_META = "engine_meta.json"
+
+
+def default_specs(batch_sizes=(1, 2), buckets=(1024,), ref_buckets=(512,)):
+    """Operating points worth pre-building: the fused wav-in path (serving)
+    and the mel-cond path (eval/batcher) at the given shapes — the analog of
+    TRT build-time shape profiles (max_batch/max_seq in run.sh:58-66)."""
+    specs = []
+    for b in batch_sizes:
+        for n in buckets:
+            specs.append(("mel", b, n, None))
+            for rb in ref_buckets:
+                if rb <= n:
+                    specs.append(("wav", b, n, rb))
+    return specs
+
+
+def _sds_tree(tree):
+    return jax.tree.map(lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), tree)
+
+
+def _artifact_name(kind: str, b: int, n: int, rb: int | None) -> str:
+    return f"{kind}_b{b}_n{n}" + (f"_r{rb}" if rb is not None else "") + ".jaxexp"
+
+
+def export_engine(
+    engine: InferenceEngine,
+    out_dir: str,
+    specs=None,
+    platforms=("tpu",),
+) -> list[str]:
+    """Serialize the engine's fused graphs for the given (kind, batch, bucket,
+    ref_bucket) operating points.  Returns the artifact file names."""
+    from jax import export as jexport
+
+    specs = default_specs() if specs is None else specs
+    os.makedirs(out_dir, exist_ok=True)
+    mc = engine.model_cfg
+    d = mc.mel.n_mel_channels
+    hop = mc.mel.hop_length
+    decode = engine.vocoder_params is not None
+    dp_sds = _sds_tree(engine.dit_params)
+    vp_sds = _sds_tree(engine.vocoder_params) if decode else None
+    sample_impl = _sample_and_decode.__wrapped__  # un-jitted bodies: export
+    wav_impl = _sample_and_decode_from_wav.__wrapped__  # owns the jit wrapper
+    names = []
+    for kind, b, n, rb in specs:
+        i32 = jnp.int32
+        if kind == "mel":
+
+            def fn(dp, vp, cond, tids, lens, dur, seeds):
+                return sample_impl(
+                    dp, vp, mc, engine.options, cond, tids, lens, dur, seeds,
+                    decode=decode, vocoder_type=engine.vocoder_type,
+                    vocoder_cfg=engine.vocoder_cfg, hooks=(None, None),
+                )
+
+            args = (
+                dp_sds, vp_sds,
+                jax.ShapeDtypeStruct((b, n, d), engine.dtype),
+                jax.ShapeDtypeStruct((b, n), i32),
+                jax.ShapeDtypeStruct((b,), i32),
+                jax.ShapeDtypeStruct((b,), i32),
+                jax.ShapeDtypeStruct((b,), i32),
+            )
+        else:  # fused wav-in path; S derives from the ref bucket
+            S = rb * hop + mc.mel.n_fft
+            n_static = n
+
+            def fn(dp, vp, wav_i16, wav_scale, lens, tids, dur, seeds, _n=n_static):
+                return wav_impl(
+                    dp, vp, mc, engine.options, wav_i16, wav_scale, lens, tids,
+                    dur, seeds, _n, decode=decode,
+                    vocoder_type=engine.vocoder_type,
+                    vocoder_cfg=engine.vocoder_cfg, hooks=(None, None),
+                )
+
+            args = (
+                dp_sds, vp_sds,
+                jax.ShapeDtypeStruct((b, S), jnp.int16),
+                jax.ShapeDtypeStruct((b,), jnp.float32),
+                jax.ShapeDtypeStruct((b,), i32),
+                jax.ShapeDtypeStruct((b, n), i32),
+                jax.ShapeDtypeStruct((b,), i32),
+                jax.ShapeDtypeStruct((b,), i32),
+            )
+        exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
+        name = _artifact_name(kind, b, n, rb)
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        names.append(name)
+    meta = {
+        "model": mc.name,
+        "options": dataclasses.asdict(engine.options),
+        "dtype": jnp.dtype(engine.dtype).name,
+        "vocoder_type": engine.vocoder_type if decode else None,
+        "fused_qkv": engine.fused_qkv,
+        "buckets": list(engine.buckets),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "artifacts": names,
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return names
+
+
+class AotEngine(InferenceEngine):
+    """InferenceEngine whose device calls dispatch to pre-built jax.export
+    artifacts — no Python model tracing at serving time (the TRT 'load the
+    .engine file' analog).  Weights come from the caller (same checkpoint
+    shapes as the export-time engine); unexported shapes raise, or fall back
+    to live jit with ``fallback=True``."""
+
+    def __init__(
+        self,
+        artifact_dir: str,
+        dit_params,
+        model_cfg,
+        vocoder_params=None,
+        fallback: bool = False,
+        **kw,
+    ):
+        from jax import export as jexport
+
+        with open(os.path.join(artifact_dir, _META)) as f:
+            meta = json.load(f)
+        if meta["model"] != model_cfg.name:
+            raise ValueError(f"artifacts built for {meta['model']!r}, got {model_cfg.name!r}")
+        opts = EngineOptions(**meta["options"])
+        kw.setdefault("options", opts)
+        kw.setdefault("dtype", jnp.dtype(meta["dtype"]))
+        kw.setdefault("buckets", tuple(meta["buckets"]))
+        kw.setdefault("fuse_qkv", meta["fused_qkv"])
+        if meta["vocoder_type"]:
+            kw.setdefault("vocoder_type", meta["vocoder_type"])
+        super().__init__(dit_params, model_cfg, vocoder_params=vocoder_params, **kw)
+        backend = jax.default_backend()
+        if backend not in meta["platforms"]:
+            # exp.call re-raises precisely at call time; warn early with context
+            print(f"AotEngine: artifacts target {meta['platforms']}, backend is {backend!r}")
+        self.fallback = fallback
+        self._artifacts = {}
+        hop = model_cfg.mel.hop_length
+        n_fft = model_cfg.mel.n_fft
+        for name in meta["artifacts"]:
+            with open(os.path.join(artifact_dir, name), "rb") as f:
+                exp = jexport.deserialize(f.read())
+            stem = name.rsplit(".", 1)[0]
+            kind, *rest = stem.split("_")
+            b = int(rest[0][1:])
+            n = int(rest[1][1:])
+            if kind == "wav":
+                rb = int(rest[2][1:])
+                self._artifacts[("wav", b, rb * hop + n_fft, n)] = exp
+            else:
+                self._artifacts[("mel", b, n)] = exp
+
+    def _require(self, key):
+        exp = self._artifacts.get(key)
+        if exp is None and not self.fallback:
+            raise KeyError(
+                f"no AOT artifact for {key}; export this operating point "
+                f"(scripts/build_engine.py) or pass fallback=True "
+                f"(available: {sorted(self._artifacts)})"
+            )
+        return exp
+
+    def _call_sample_and_decode(self, dp, vp, model_cfg, opts, cond, tids, lens,
+                                duration, seeds, **kw):
+        if kw.get("hooks", (None, None)) != (None, None):
+            raise ValueError("AOT artifacts are single-host graphs; parallel "
+                             "hooks need the live engine")
+        exp = self._require(("mel", int(cond.shape[0]), int(cond.shape[1])))
+        if exp is None:
+            return super()._call_sample_and_decode(
+                dp, vp, model_cfg, opts, cond, tids, lens, duration, seeds, **kw)
+        return exp.call(dp, vp, cond, tids, lens, duration, seeds)
+
+    def _call_sample_and_decode_from_wav(self, dp, vp, model_cfg, opts, wav_i16,
+                                         wav_scale, lens, tids, duration, seeds,
+                                         n, **kw):
+        if kw.get("hooks", (None, None)) != (None, None):
+            raise ValueError("AOT artifacts are single-host graphs; parallel "
+                             "hooks need the live engine")
+        exp = self._require(("wav", int(wav_i16.shape[0]), int(wav_i16.shape[1]), n))
+        if exp is None:
+            return super()._call_sample_and_decode_from_wav(
+                dp, vp, model_cfg, opts, wav_i16, wav_scale, lens, tids,
+                duration, seeds, n, **kw)
+        return exp.call(dp, vp, wav_i16, wav_scale, lens, tids, duration, seeds)
