@@ -55,6 +55,9 @@ class F5TTS:
         nfe_step: int = NFE_STEP,
         init_random: bool = False,
         model_cfg: dict | None = None,
+        artifacts: str | None = None,  # AOT artifact dir (runtime/aot.py);
+        # serve pre-built graphs instead of tracing + jit-compiling
+        artifacts_fallback: bool = False,  # un-exported shapes fall back to live jit
     ):
         assert ode_method in ("euler", "midpoint"), (
             "fixed-step solvers only (matches reference torchdiffeq usage)"
@@ -161,13 +164,24 @@ class F5TTS:
                 stacklevel=2,
             )
 
-        self.engine = InferenceEngine(
-            dit_params,
-            model_cfg,
-            vocoder_params=voc_params,
-            dtype=dtype,
-            options=EngineOptions(nfe_step=nfe_step, ode_method=ode_method),
-        )
+        if artifacts:
+            # pre-built AOT graphs (runtime/aot.py): sampler options, dtype and
+            # buckets come from engine_meta.json; weights stay the ones loaded
+            # above, so finetuned checkpoints serve through existing artifacts
+            from f5_tts_tpu.runtime.aot import AotEngine
+
+            self.engine = AotEngine(
+                artifacts, dit_params, model_cfg, vocoder_params=voc_params,
+                fallback=artifacts_fallback,
+            )
+        else:
+            self.engine = InferenceEngine(
+                dit_params,
+                model_cfg,
+                vocoder_params=voc_params,
+                dtype=dtype,
+                options=EngineOptions(nfe_step=nfe_step, ode_method=ode_method),
+            )
 
     # surface parity: reference api.py:86-96
     def transcribe(self, ref_audio, language=None):

@@ -154,12 +154,15 @@ def main(argv=None):
                    help="online dynamic-batching max batch (1 disables)")
     p.add_argument("--queue_delay_ms", type=float, default=4.0,
                    help="batch window opened by the first queued request")
+    p.add_argument("--artifacts", default=None,
+                   help="AOT artifact dir (f5-tts_build-engine output)")
     args = p.parse_args(argv)
     from f5_tts_tpu.infer.api import F5TTS
 
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file,
                 vocoder_local_path=args.vocoder_local_path,
-                nfe_step=args.nfe_step, init_random=args.init_random)
+                nfe_step=args.nfe_step, init_random=args.init_random,
+                artifacts=args.artifacts, artifacts_fallback=True)
     serve(tts, args.ref_audio, args.ref_text, args.host, args.port,
           max_batch=args.max_batch, queue_delay_ms=args.queue_delay_ms)
 

@@ -127,13 +127,16 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=4,
                    help="online dynamic-batching max batch (1 disables)")
     p.add_argument("--queue_delay_ms", type=float, default=4.0)
+    p.add_argument("--artifacts", default=None,
+                   help="AOT artifact dir (f5-tts_build-engine output)")
     args = p.parse_args(argv)
 
     from f5_tts_tpu.infer.api import F5TTS
 
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
                 vocoder_local_path=args.vocoder_local_path, device=args.device,
-                init_random=args.init_random)
+                init_random=args.init_random, artifacts=args.artifacts,
+                artifacts_fallback=True)
     if args.max_batch > 1:
         # concurrent connections' chunks merge into shared device batches
         from f5_tts_tpu.infer.batcher import wrap_engine

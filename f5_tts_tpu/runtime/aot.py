@@ -188,6 +188,10 @@ class AotEngine(InferenceEngine):
             # exp.call re-raises precisely at call time; warn early with context
             print(f"AotEngine: artifacts target {meta['platforms']}, backend is {backend!r}")
         self.fallback = fallback
+        # sampler/quant options are BAKED into the artifacts; per-call
+        # overrides (api.infer nfe/cfg/sway kwargs) must not silently serve
+        # the old graph — _lookup() compares against this snapshot
+        self._exported_options = opts
         self._artifacts = {}
         hop = model_cfg.mel.hop_length
         n_fft = model_cfg.mel.n_fft
@@ -204,22 +208,27 @@ class AotEngine(InferenceEngine):
             else:
                 self._artifacts[("mel", b, n)] = exp
 
-    def _require(self, key):
+    def _lookup(self, key, opts, hooks):
+        """Resolve the artifact for this call; None means use the live path."""
+        if hooks != (None, None):
+            raise ValueError("AOT artifacts are single-host graphs; parallel "
+                             "hooks need the live engine")
         exp = self._artifacts.get(key)
+        why = f"no AOT artifact for {key} (available: {sorted(self._artifacts)})"
+        if exp is not None and opts != self._exported_options:
+            # e.g. api.infer(nfe_step=...) rebuilt engine.options after load;
+            # serving the baked graph would silently ignore the override
+            exp, why = None, (f"per-call options {opts} differ from the "
+                              f"exported {self._exported_options}")
         if exp is None and not self.fallback:
-            raise KeyError(
-                f"no AOT artifact for {key}; export this operating point "
-                f"(scripts/build_engine.py) or pass fallback=True "
-                f"(available: {sorted(self._artifacts)})"
-            )
+            raise KeyError(f"{why}; rebuild with f5-tts_build-engine or pass "
+                           "fallback=True for live jit")
         return exp
 
     def _call_sample_and_decode(self, dp, vp, model_cfg, opts, cond, tids, lens,
                                 duration, seeds, **kw):
-        if kw.get("hooks", (None, None)) != (None, None):
-            raise ValueError("AOT artifacts are single-host graphs; parallel "
-                             "hooks need the live engine")
-        exp = self._require(("mel", int(cond.shape[0]), int(cond.shape[1])))
+        key = ("mel", int(cond.shape[0]), int(cond.shape[1]))
+        exp = self._lookup(key, opts, kw.get("hooks", (None, None)))
         if exp is None:
             return super()._call_sample_and_decode(
                 dp, vp, model_cfg, opts, cond, tids, lens, duration, seeds, **kw)
@@ -228,10 +237,8 @@ class AotEngine(InferenceEngine):
     def _call_sample_and_decode_from_wav(self, dp, vp, model_cfg, opts, wav_i16,
                                          wav_scale, lens, tids, duration, seeds,
                                          n, **kw):
-        if kw.get("hooks", (None, None)) != (None, None):
-            raise ValueError("AOT artifacts are single-host graphs; parallel "
-                             "hooks need the live engine")
-        exp = self._require(("wav", int(wav_i16.shape[0]), int(wav_i16.shape[1]), n))
+        key = ("wav", int(wav_i16.shape[0]), int(wav_i16.shape[1]), n)
+        exp = self._lookup(key, opts, kw.get("hooks", (None, None)))
         if exp is None:
             return super()._call_sample_and_decode_from_wav(
                 dp, vp, model_cfg, opts, wav_i16, wav_scale, lens, tids,

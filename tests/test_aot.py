@@ -85,6 +85,38 @@ def test_aot_meta_guards_model_identity(built):
         AotEngine(out, params, wrong, vocoder_params=voc)
 
 
+def test_f5tts_api_serves_from_artifacts(tmp_path):
+    """F5TTS(artifacts=dir) loads an AotEngine and produces the same audio as
+    the live-jit F5TTS; servers pass --artifacts through this path."""
+    from f5_tts_tpu.infer.api import F5TTS
+    from f5_tts_tpu.runtime.aot import main as build_main
+
+    out = str(tmp_path / "art")
+    build_main(["--out", out, "--model", "F5TTS_Tiny", "--cpu-build",
+                "--platforms", "cpu", "--batches", "1", "--buckets", "256",
+                "--ref-buckets", "256", "--nfe", "2"])
+    live = F5TTS(model="F5TTS_Tiny", init_random=True, nfe_step=2)
+    aot = F5TTS(model="F5TTS_Tiny", init_random=True,
+                artifacts=out, artifacts_fallback=True)
+    assert isinstance(aot.engine, AotEngine) and aot.engine.options.nfe_step == 2
+    sr = live.target_sample_rate
+    ref = (0.2 * np.sin(np.arange(sr) / 25.0)).astype(np.float32)
+    kw = dict(ref_file=(ref, sr), ref_text="a tone reference.",
+              gen_text="artifact serving check.", seed=11, nfe_step=2)
+    wav_live, _, _ = live.infer(**kw)
+    wav_aot, _, _ = aot.infer(**kw)
+    np.testing.assert_allclose(wav_aot, wav_live, atol=1e-5)
+
+    # a per-call sampler override must not silently serve the baked graph:
+    # strict mode raises (with fallback=True it re-jits live instead).
+    # NB: output-level NFE sensitivity can't be asserted here — init_random
+    # keeps the reference zero-init AdaLN gates, so velocity == 0 and any
+    # step count vocodes the same mel (see DEVELOPMENT.md zero-init gotcha)
+    strict = F5TTS(model="F5TTS_Tiny", init_random=True, artifacts=out)
+    with pytest.raises(KeyError, match="per-call options"):
+        strict.infer(**{**kw, "nfe_step": 4})
+
+
 def test_aot_options_come_from_meta(built):
     cfg, params, voc, eng, out, _ = built
     aot = AotEngine(out, params, cfg, vocoder_params=voc, buckets=(256, 512))
