@@ -1,8 +1,11 @@
 #!/usr/bin/env bash
 # Serving deployment pipeline (reference runtime/triton_trtllm/run.sh stages):
-#   1. warm the compilation cache   2. start the HTTP server
-#   3. smoke-test a request         4. offline RTF benchmark
+#   1. build AOT engine artifacts (trtllm-build analog; set ARTIFACTS=)
+#      or warm the live-jit compilation cache
+#   2. start the HTTP server        3. smoke-test a request
+#   4. offline RTF benchmark
 # Usage: scripts/run_serving.sh <ckpt_file> <vocos_ckpt> <ref_wav> "<ref text>"
+#   ARTIFACTS=artifacts/ scripts/run_serving.sh ...   # AOT mode
 
 set -euo pipefail
 CKPT=${1:?ckpt file}
@@ -10,13 +13,22 @@ VOC=${2:?vocos ckpt}
 REF=${3:?ref wav}
 REF_TEXT=${4:?ref text}
 PORT=${PORT:-8000}
+ARTIFACTS=${ARTIFACTS:-}
 
-echo "[1/4] warming compilation cache"
-python scripts/warmup_cache.py --model F5TTS_v1_Base --nfe 16 32 --buckets 512 1024 2048
+if [[ -n "$ARTIFACTS" ]]; then
+  echo "[1/4] building AOT engine artifacts -> $ARTIFACTS"
+  f5-tts_build-engine --out "$ARTIFACTS" --model F5TTS_v1_Base --nfe 16 \
+    --ckpt "$CKPT" --vocoder "$VOC" --batches 1 2 --buckets 1024 --ref-buckets 512
+  AOT_FLAG=(--artifacts "$ARTIFACTS")
+else
+  echo "[1/4] warming compilation cache"
+  python scripts/warmup_cache.py --model F5TTS_v1_Base --nfe 16 32 --buckets 512 1024 2048
+  AOT_FLAG=()
+fi
 
 echo "[2/4] starting HTTP server on :$PORT"
 f5-tts_http-server --ckpt_file "$CKPT" --vocoder_local_path "$VOC" \
-  --ref_audio "$REF" --ref_text "$REF_TEXT" --port "$PORT" &
+  --ref_audio "$REF" --ref_text "$REF_TEXT" --port "$PORT" ${AOT_FLAG[@]+"${AOT_FLAG[@]}"} &
 SERVER_PID=$!
 trap 'kill $SERVER_PID 2>/dev/null || true' EXIT
 sleep 5
