@@ -91,7 +91,8 @@ def lens_to_mask(lens: jax.Array, length: int) -> jax.Array:
     return jnp.arange(length)[None, :] < lens[:, None]
 
 
-def _picard_integrate(velocity_rows, y0, ts, W: int, tol: float, mask, rows_constraint=None):
+def _picard_integrate(velocity_rows, y0, ts, W: int, tol: float, mask,
+                      rows_constraint=None, mod_tables=None):
     """Parallel-in-time Euler: solve a sliding window of W steps per sweep.
 
     Fixed-point recurrence (Picard iteration over the Euler grid — the
@@ -132,7 +133,17 @@ def _picard_integrate(velocity_rows, y0, ts, W: int, tol: float, mask, rows_cons
         x_rows = Xw.reshape(W * b, n, d)
         if rows_constraint is not None:
             x_rows = rows_constraint(x_rows)
-        v = velocity_rows(x_rows, jnp.repeat(tw, b)).reshape(W, b, n, d)
+        mods = None
+        if mod_tables is not None:
+            # precomputed AdaLN tables, sliced to the window and expanded to
+            # per-row mods (row order is w-major then batch, matching reshape)
+            blk_w = jax.lax.dynamic_slice_in_dim(mod_tables[0], s, W, axis=0)
+            fin_w = jax.lax.dynamic_slice_in_dim(mod_tables[1], s, W, axis=0)
+            mods = (
+                jnp.repeat(blk_w.transpose(1, 0, 2), b, axis=1),  # [depth, W*b, 6dim]
+                jnp.repeat(fin_w, b, axis=0),  # [W*b, 2dim]
+            )
+        v = velocity_rows(x_rows, jnp.repeat(tw, b), mods).reshape(W, b, n, d)
         incr = jnp.cumsum(dw[:, None, None, None].astype(dtype) * v, axis=0)
         base = jax.lax.dynamic_slice_in_dim(Y, s, 1, axis=0)  # frozen Y[s]
         Ynew = base + incr  # new guesses for Y[s+1 .. s+W]
@@ -275,22 +286,41 @@ def sample(
         if "c_mask" in extra_r:
             extra_r["c_mask"] = jnp.tile(extra_r["c_mask"], (W, 1))
 
-        def velocity_rows(x_rows, t_rows):
+        def velocity_rows(x_rows, t_rows, adaln_mods=None):
             t_rows = t_rows.astype(compute_dtype)
+            kwm = dict(extra_r)
+            if adaln_mods is not None:
+                kwm["adaln_mods"] = adaln_mods
             if use_cfg:
                 pred, null = bb.forward_cfg(
                     params, arch_cfg, x_rows, cond_r, te_cond_r, te_uncond_r,
-                    t_rows, mask=mask_r, backend=backend, **extra_r,
+                    t_rows, mask=mask_r, backend=backend, **kwm,
                 )
                 return pred + (pred - null) * opts.cfg_strength
             return bb.forward(
                 params, arch_cfg, x_rows, cond_r, te_cond_r, t_rows,
-                mask=mask_r, backend=backend, **extra_r,
+                mask=mask_r, backend=backend, **kwm,
             )
+
+        # the schedule is known ahead, so the AdaLN tables drop out of the
+        # sweeps exactly as they do for the sequential scan; padded window
+        # rows reuse the last step's mods (their dt=0 discards the result)
+        mod_tables = None
+        if opts.precompute_adaln and block_scan is None and hasattr(bb, "precompute_adaln"):
+            blk_t, fin_t = bb.precompute_adaln(
+                params, arch_cfg, jnp.asarray(ts[:-1]), dtype=compute_dtype
+            )
+
+            def _pad_w(a):
+                return jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (W,) + a.shape[1:])], axis=0
+                )
+
+            mod_tables = (_pad_w(blk_t), _pad_w(fin_t))
 
         y, info = _picard_integrate(
             velocity_rows, y0, ts, W, opts.picard_tol, mask,
-            rows_constraint=time_rows_constraint,
+            rows_constraint=time_rows_constraint, mod_tables=mod_tables,
         )
         out = jnp.where(cond_mask[..., None], cond, y)
         out = jnp.where(mask[..., None], out, 0.0)

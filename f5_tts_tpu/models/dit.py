@@ -177,7 +177,9 @@ def forward(
     # parallelism (parallel/sequence.py make_seq_constraint)
     adaln_mods=None,  # optional (block_mods [depth, 6*dim], final_mod [2*dim])
     # from precompute_adaln for ONE shared timestep — replaces the in-loop
-    # adaln matmuls; `time` is then unused
+    # adaln matmuls; `time` is then unused.  Per-row variant ([depth, rows,
+    # 6*dim], [rows, 2*dim]) serves the time-parallel window (cfm.py), where
+    # batch rows carry different timesteps
 ):
     """DiT forward (dit.py:319-370) with text embedding precomputed.
 
@@ -285,6 +287,13 @@ def forward_cfg(
         time = jnp.broadcast_to(time, (b,))
     t2 = jnp.concatenate([time, time], axis=0)
     mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
+    if adaln_mods is not None and adaln_mods[0].ndim == 3:
+        # per-row mods ([depth, rows, 6*dim], [rows, 2*dim]) must double with
+        # the packed cond‖uncond rows (shared-t mods broadcast and need not)
+        adaln_mods = (
+            jnp.concatenate([adaln_mods[0], adaln_mods[0]], axis=1),
+            jnp.concatenate([adaln_mods[1], adaln_mods[1]], axis=0),
+        )
     out = forward(params, cfg, x2, cond2, te2, t2, mask=mask2, backend=backend,
                   block_scan=block_scan, activation_constraint=activation_constraint,
                   adaln_mods=adaln_mods)

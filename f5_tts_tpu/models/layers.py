@@ -272,8 +272,11 @@ def adaln_final(p, x, emb):
 
 
 def adaln_final_from_mod(mod, x):
-    """adaln_final from a precomputed modulation row [2*dim] (shared-t batch)."""
-    scale, shift = jnp.split(mod[None], 2, axis=-1)
+    """adaln_final from a precomputed modulation: [2*dim] (one timestep shared
+    by the batch) or [rows, 2*dim] (per-row timesteps — time-parallel window,
+    models/cfm.py _picard_integrate)."""
+    m = mod if mod.ndim == 2 else mod[None]
+    scale, shift = jnp.split(m, 2, axis=-1)
     return layer_norm(x, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
 
 
@@ -377,11 +380,12 @@ def dit_block_init(key, dim: int, heads: int, dim_head: int, ff_mult: int = 4, q
 
 def dit_block(p, x, t_emb, heads: int, mask=None, rope_freqs=None, pe_attn_head=None,
               backend="auto", mod=None):
-    """``mod``: optional precomputed AdaLN modulation row [6*dim] for a
-    timestep shared by the whole batch (models/dit.py precompute_adaln) —
-    skips the per-block adaln matmul (and its 6.3M-param weight read)."""
+    """``mod``: optional precomputed AdaLN modulation — row [6*dim] for a
+    timestep shared by the whole batch, or [rows, 6*dim] per-row timesteps
+    (time-parallel window) — skips the per-block adaln matmul (and its
+    6.3M-param weight read)."""
     if mod is not None:
-        e = mod[None]  # [1, 6*dim] broadcasts over batch
+        e = mod if mod.ndim == 2 else mod[None]  # [rows|1, 6*dim]
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(e, 6, axis=-1)
         norm = layer_norm(x, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
     else:

@@ -37,10 +37,11 @@ def _problem(seed=7, b=2, n=48, nt=10):
     )
 
 
-def _run(params, args, steps, cfg_strength=2.0, window=0, tol=1e-3, **kw):
+def _run(params, args, steps, cfg_strength=2.0, window=0, tol=1e-3,
+         precompute_adaln=False, **kw):
     cond, text, duration, noise, lens = args
     opts = C.SampleOptions(
-        steps=steps, cfg_strength=cfg_strength, precompute_adaln=False,
+        steps=steps, cfg_strength=cfg_strength, precompute_adaln=precompute_adaln,
         time_parallel_window=window, picard_tol=tol,
     )
     return C.sample(
@@ -87,6 +88,22 @@ def test_picard_tolerance_bounds_drift():
     err = np.sqrt(np.mean((np.asarray(par) - seq) ** 2))
     assert err < 60 * tol, err
     assert int(info["sweeps"]) <= 16
+
+
+def test_picard_precomputed_adaln_tables_match():
+    """The window reuses the sequential path's precomputed AdaLN tables as
+    per-row mods (expanded via dit.forward_cfg row doubling); numerics match
+    the non-table window up to matmul reassociation."""
+    params = make_params(SMALL)
+    args = _problem(seed=23)
+    plain = np.asarray(_run(params, args, steps=8, window=4, tol=0.0))
+    tabled = np.asarray(
+        _run(params, args, steps=8, window=4, tol=0.0, precompute_adaln=True)
+    )
+    np.testing.assert_allclose(tabled, plain, atol=3e-4)
+    # and still matches the default sequential sampler (tables on there too)
+    seq = np.asarray(_run(params, args, steps=8, precompute_adaln=True))
+    np.testing.assert_allclose(tabled, seq, atol=5e-4)
 
 
 def test_picard_no_cfg_path():
