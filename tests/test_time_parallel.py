@@ -141,6 +141,36 @@ def test_engine_time_parallel_option():
     np.testing.assert_allclose(outs[2], outs[0], atol=2e-4)
 
 
+def test_picard_other_backbones():
+    """The window path is backbone-generic (per-row times through forward /
+    forward_cfg): UNetT (time-as-token) and MMDiT (dual-stream, tiled c_mask)
+    match their sequential samplers at tol=0."""
+    from f5_tts_tpu.models import mmdit as M
+    from f5_tts_tpu.models import unett as U
+    from tests.test_mmdit import SMALL as MM_SMALL
+    from tests.test_unett import SMALL as UN_SMALL
+
+    rng = np.random.default_rng(29)
+    for cfg, init in ((UN_SMALL, U.init), (MM_SMALL, M.init)):
+        params = init(jax.random.PRNGKey(5), cfg)
+        b, n, nt = 2, 48, 10
+        cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+        lens = np.array([12, 9], np.int32)
+        cond[0, 12:] = 0.0
+        cond[1, 9:] = 0.0
+        text = rng.integers(0, cfg.text_num_embeds, (b, nt)).astype(np.int32)
+        text[1, 6:] = -1
+        noise = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+        args = [jnp.asarray(a) for a in
+                (cond, text, np.array([40, 30], np.int32), noise, lens)]
+        seq = C.sample(params, cfg, *args[:4], lens=args[4], backend="sdpa",
+                       opts=C.SampleOptions(steps=4, precompute_adaln=False))
+        par = C.sample(params, cfg, *args[:4], lens=args[4], backend="sdpa",
+                       opts=C.SampleOptions(steps=4, precompute_adaln=False,
+                                            time_parallel_window=4, picard_tol=0.0))
+        np.testing.assert_allclose(np.asarray(par), np.asarray(seq), atol=3e-4)
+
+
 def test_picard_window_rows_shard_over_data_axis():
     """The W*b window rows pin to the ``data`` mesh axis: the ODE's TIME
     dimension runs data-parallel over 8 devices, output unchanged."""
