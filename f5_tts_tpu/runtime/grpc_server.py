@@ -144,13 +144,16 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=4)
     p.add_argument("--queue_delay_ms", type=float, default=4.0)
     p.add_argument("--max_workers", type=int, default=16)
+    p.add_argument("--artifacts", default=None,
+                   help="AOT artifact dir (f5-tts_build-engine output)")
     args = p.parse_args(argv)
 
     from f5_tts_tpu.infer.api import F5TTS
 
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
                 vocoder_local_path=args.vocoder_local_path, nfe_step=args.nfe_step,
-                init_random=args.init_random)
+                init_random=args.init_random, artifacts=args.artifacts,
+                artifacts_fallback=True)
     server, bound = make_server(
         tts, args.ref_audio, args.ref_text, port=args.port, host=args.host,
         max_batch=args.max_batch, queue_delay_ms=args.queue_delay_ms,
