@@ -119,6 +119,7 @@ def _sample_and_decode(
         backend=opts.backend,
         block_scan=hooks[0],
         activation_constraint=hooks[1],
+        time_parallel_mesh=hooks[2] if len(hooks) > 2 else None,
     )
     if not decode or voc_params is None:
         return mel_out, None
@@ -232,6 +233,18 @@ class InferenceEngine:
         # BatchServer (sequence/pipeline parallel); must stay a stable tuple of
         # callables (it keys the jit cache)
         self.parallel_hooks = (None, None)
+
+    def enable_time_parallel(self, mesh) -> None:
+        """Low-latency multi-chip mode: with ``EngineOptions(
+        time_parallel_window=W)``, the sampler's W-step window rows run
+        jax.shard_map manual over ``mesh``'s data axis — W chips integrate W
+        ODE timesteps of the same utterance concurrently (models/cfm.py
+        _picard_integrate).  Call before warmup; the batch itself stays
+        replicated (this mode targets batch-1 latency, not throughput)."""
+        assert self.options.time_parallel_window > 0, (
+            "set EngineOptions(time_parallel_window=W) to use time parallelism"
+        )
+        self.parallel_hooks = (None, None, mesh)
 
     # device-call seams: runtime/aot.AotEngine overrides these to dispatch to
     # pre-built jax.export artifacts instead of tracing + jit-compiling

@@ -143,7 +143,12 @@ def _picard_integrate(velocity_rows, y0, ts, W: int, tol: float, mask,
                 jnp.repeat(blk_w.transpose(1, 0, 2), b, axis=1),  # [depth, W*b, 6dim]
                 jnp.repeat(fin_w, b, axis=0),  # [W*b, 2dim]
             )
-        v = velocity_rows(x_rows, jnp.repeat(tw, b), mods).reshape(W, b, n, d)
+        v = velocity_rows(x_rows, jnp.repeat(tw, b), mods)
+        if rows_constraint is not None:
+            # pin the output too: without it GSPMD may pick replicated
+            # layouts for the epilogue and back-propagate them into the body
+            v = rows_constraint(v)
+        v = v.reshape(W, b, n, d)
         incr = jnp.cumsum(dw[:, None, None, None].astype(dtype) * v, axis=0)
         base = jax.lax.dynamic_slice_in_dim(Y, s, 1, axis=0)  # frozen Y[s]
         Ynew = base + incr  # new guesses for Y[s+1 .. s+W]
@@ -185,6 +190,13 @@ def sample(
     time_rows_constraint=None,  # time-parallel mode: sharding pin applied to the
     # [W*b, n, d] window rows (e.g. PartitionSpec('data') over a mesh, so the
     # ODE's time axis data-parallelizes over chips)
+    time_parallel_mesh=None,  # time-parallel mode: run the window forward as
+    # jax.shard_map manual over the mesh's `data` axis instead of GSPMD
+    # constraints — guarantees per-shard execution of EVERY op (GSPMD chooses
+    # to replicate grouped convolutions / custom calls under mere sharding
+    # constraints; measured per-device flops ratio 2.7/8 on the DiT).  Other
+    # mesh axes (e.g. `model` tensor parallel) stay GSPMD-auto, same pattern
+    # as parallel/{ring,pipeline}.py.  Overrides time_rows_constraint.
     return_info: bool = False,  # also return {"sweeps": ...} diagnostics
     # (time-parallel mode only)
 ):
@@ -276,6 +288,16 @@ def sample(
         assert opts.ode_method == "euler", "time-parallel integration is euler-only"
         assert not return_trajectory, "trajectory capture needs the sequential scan"
         W = min(opts.time_parallel_window, len(ts) - 1)
+        if time_parallel_mesh is not None:
+            assert block_scan is None and activation_constraint is None, (
+                "time_parallel_mesh is manual over `data`; pipeline/sequence "
+                "hooks cannot nest inside it"
+            )
+            dp = time_parallel_mesh.shape["data"]
+            assert (W * b) % dp == 0, (
+                f"window rows {W}x{b} must divide the data axis ({dp}); "
+                f"pick time_parallel_window as a multiple of {dp}//b"
+            )
         # conditioning tiled once onto the window axis; per-row times make the
         # backbone evaluate W different ODE steps in one forward
         cond_r = jnp.tile(step_cond, (W, 1, 1))
@@ -285,22 +307,89 @@ def sample(
         extra_r = dict(extra)
         if "c_mask" in extra_r:
             extra_r["c_mask"] = jnp.tile(extra_r["c_mask"], (W, 1))
+        if time_rows_constraint is not None:
+            # pin the tiled conditioning to the same row sharding as the
+            # window states — one unconstrained operand is enough for GSPMD
+            # to replicate whole subgraphs of the forward
+            cond_r = time_rows_constraint(cond_r)
+            te_cond_r = time_rows_constraint(te_cond_r)
+            if te_uncond_r is not None:
+                te_uncond_r = time_rows_constraint(te_uncond_r)
+            mask_r = time_rows_constraint(mask_r)
 
-        def velocity_rows(x_rows, t_rows, adaln_mods=None):
+        def _velocity_on(x_rows, t_rows, cond_l, te_l, teu_l, mask_l, cmask_l,
+                         adaln_mods=None, constraint=None):
             t_rows = t_rows.astype(compute_dtype)
             kwm = dict(extra_r)
+            kwm.pop("c_mask", None)
+            if cmask_l is not None:
+                kwm["c_mask"] = cmask_l
             if adaln_mods is not None:
                 kwm["adaln_mods"] = adaln_mods
+            if constraint is not None and "activation_constraint" not in kwm:
+                # keep the row sharding pinned INSIDE the block scan (GSPMD
+                # drops it from the scan carry otherwise; see dit.forward)
+                kwm["activation_constraint"] = constraint
             if use_cfg:
                 pred, null = bb.forward_cfg(
-                    params, arch_cfg, x_rows, cond_r, te_cond_r, te_uncond_r,
-                    t_rows, mask=mask_r, backend=backend, **kwm,
+                    params, arch_cfg, x_rows, cond_l, te_l, teu_l,
+                    t_rows, mask=mask_l, backend=backend, **kwm,
                 )
                 return pred + (pred - null) * opts.cfg_strength
             return bb.forward(
-                params, arch_cfg, x_rows, cond_r, te_cond_r, t_rows,
-                mask=mask_r, backend=backend, **kwm,
+                params, arch_cfg, x_rows, cond_l, te_l, t_rows,
+                mask=mask_l, backend=backend, **kwm,
             )
+
+        cmask_r = extra_r.get("c_mask")
+        if time_parallel_mesh is not None:
+            # manual-over-`data` evaluation: every op in the forward runs on
+            # its rows shard by construction (no GSPMD partitioning choices);
+            # params and other mesh axes stay auto, so time x tp composes
+            from f5_tts_tpu.parallel.mesh import DATA_AXIS
+
+            P_ = jax.sharding.PartitionSpec
+            rowspec = P_(DATA_AXIS)
+
+            def velocity_rows(x_rows, t_rows, adaln_mods=None):
+                args = [x_rows, t_rows, cond_r, te_cond_r]
+                specs = [rowspec, rowspec, rowspec, rowspec]
+                flags = dict(teu=te_uncond_r is not None, cmask=cmask_r is not None,
+                             mods=adaln_mods is not None)
+                if flags["teu"]:
+                    args.append(te_uncond_r)
+                    specs.append(rowspec)
+                args.append(mask_r)
+                specs.append(rowspec)
+                if flags["cmask"]:
+                    args.append(cmask_r)
+                    specs.append(rowspec)
+                if flags["mods"]:
+                    args.append(adaln_mods)
+                    specs.append((P_(None, DATA_AXIS), rowspec))
+
+                def local(*a):
+                    it = iter(a)
+                    x_l, t_l, cond_l, te_l = next(it), next(it), next(it), next(it)
+                    teu_l = next(it) if flags["teu"] else None
+                    mask_l = next(it)
+                    cmask_l = next(it) if flags["cmask"] else None
+                    mods_l = next(it) if flags["mods"] else None
+                    return _velocity_on(x_l, t_l, cond_l, te_l, teu_l, mask_l,
+                                        cmask_l, adaln_mods=mods_l)
+
+                return jax.shard_map(
+                    local, mesh=time_parallel_mesh, in_specs=tuple(specs),
+                    out_specs=rowspec, axis_names=frozenset({DATA_AXIS}),
+                )(*args)
+        else:
+
+            def velocity_rows(x_rows, t_rows, adaln_mods=None):
+                return _velocity_on(
+                    x_rows, t_rows, cond_r, te_cond_r, te_uncond_r, mask_r,
+                    cmask_r, adaln_mods=adaln_mods,
+                    constraint=time_rows_constraint,
+                )
 
         # the schedule is known ahead, so the AdaLN tables drop out of the
         # sweeps exactly as they do for the sequential scan; padded window

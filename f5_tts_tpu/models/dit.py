@@ -127,12 +127,20 @@ def text_embedding(
     return emb
 
 
-def input_embedding(params, x, cond, text_emb, drop_audio_cond=False, mask=None):
-    """InputEmbedding (dit.py:145-164)."""
+def input_embedding(params, x, cond, text_emb, drop_audio_cond=False, mask=None,
+                    activation_constraint=None):
+    """InputEmbedding (dit.py:145-164).
+
+    ``activation_constraint`` pins ``h`` BEFORE the grouped positional convs:
+    GSPMD otherwise chooses to run them replicated under a batch-sharded mesh
+    (measured: 2x [rows, n, dim] k=31 convolutions at full rows on every
+    device) and only then slice."""
     p = params["input_embed"]
     if drop_audio_cond:
         cond = jnp.zeros_like(cond)
     h = L.linear(p["proj"], jnp.concatenate([x, cond, text_emb], axis=-1))
+    if activation_constraint is not None:
+        h = activation_constraint(h)
     return L.conv_pos_embed(p["conv_pos"], h, mask=mask) + h
 
 
@@ -192,12 +200,19 @@ def forward(
         t_emb = L.timestep_embed(params["time_embed"], time, dtype=x.dtype)
     else:
         t_emb = None
-    h = input_embedding(params, x, cond, text_emb, drop_audio_cond=drop_audio_cond, mask=mask)
+    h = input_embedding(params, x, cond, text_emb, drop_audio_cond=drop_audio_cond,
+                        mask=mask, activation_constraint=activation_constraint)
     if activation_constraint is not None:
         h = activation_constraint(h)
     rope = jnp.asarray(rotary_freqs(cfg.max_pos, cfg.dim_head)[:n])
 
     residual = h if cfg.long_skip_connection else None
+
+    # GSPMD does NOT reliably propagate an input sharding constraint through
+    # the scan carry (measured: batch-sharded rows ran the 22 blocks
+    # replicated, per-device flops ratio 2.7/8) — re-pin the carry in the
+    # scan BODY so every block's matmuls stay sharded
+    _pin = activation_constraint if activation_constraint is not None else (lambda a: a)
 
     if block_scan is not None:
         h = block_scan(params["blocks"], h, t_emb, mask, rope)
@@ -208,7 +223,7 @@ def forward(
                 bp, carry, None, cfg.heads, mask=mask, rope_freqs=rope,
                 pe_attn_head=cfg.pe_attn_head, backend=backend, mod=mod,
             )
-            return out, None
+            return _pin(out), None
 
         if cfg.checkpoint_activations:
             block_fn_mod = jax.checkpoint(block_fn_mod, policy=remat_policy(cfg))
@@ -219,7 +234,7 @@ def forward(
                 bp, carry, t_emb, cfg.heads, mask=mask, rope_freqs=rope,
                 pe_attn_head=cfg.pe_attn_head, backend=backend,
             )
-            return out, None
+            return _pin(out), None
 
         if cfg.checkpoint_activations:
             block_fn = jax.checkpoint(block_fn, policy=remat_policy(cfg))

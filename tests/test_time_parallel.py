@@ -38,7 +38,9 @@ def _problem(seed=7, b=2, n=48, nt=10):
 
 
 def _run(params, args, steps, cfg_strength=2.0, window=0, tol=1e-3,
-         precompute_adaln=False, **kw):
+         precompute_adaln=False, time_parallel_mesh=None, **kw):
+    if time_parallel_mesh is not None:
+        kw["time_parallel_mesh"] = time_parallel_mesh
     cond, text, duration, noise, lens = args
     opts = C.SampleOptions(
         steps=steps, cfg_strength=cfg_strength, precompute_adaln=precompute_adaln,
@@ -197,6 +199,55 @@ def test_picard_window_rows_shard_over_data_axis():
     with mesh:
         out = np.asarray(f(params, cond, text, duration, noise, lens))
     np.testing.assert_allclose(out, host, atol=3e-4)
+
+
+def test_picard_shard_map_mesh_mode_matches():
+    """time_parallel_mesh: the window forward runs shard_map manual over
+    `data` (every op per-shard by construction — GSPMD constraints leave
+    grouped convs replicated); numerics match the unsharded window."""
+    from f5_tts_tpu.parallel.mesh import make_mesh
+
+    params = make_params(SMALL)
+    args = _problem(seed=31)
+    host = np.asarray(_run(params, args, steps=8, window=4, tol=0.0))
+    mesh = make_mesh(data=8, model=1)
+    got = np.asarray(_run(params, args, steps=8, window=4, tol=0.0,
+                          time_parallel_mesh=mesh))
+    np.testing.assert_allclose(got, host, atol=3e-4)
+    # with precomputed AdaLN tables (per-row mods shard with the rows)
+    host_t = np.asarray(_run(params, args, steps=8, window=4, tol=0.0,
+                             precompute_adaln=True))
+    got_t = np.asarray(_run(params, args, steps=8, window=4, tol=0.0,
+                            precompute_adaln=True, time_parallel_mesh=mesh))
+    np.testing.assert_allclose(got_t, host_t, atol=3e-4)
+
+
+def test_engine_time_parallel_mesh_serving():
+    """InferenceEngine.enable_time_parallel(mesh): the fused serving graph
+    runs the window over 8 devices, wavs identical to the plain engine."""
+    import jax as _jax
+
+    from f5_tts_tpu.infer.engine import EngineOptions, InferenceEngine
+    from f5_tts_tpu.models import vocos as V
+    from f5_tts_tpu.parallel.mesh import make_mesh
+    from tests.test_pipeline import tiny_model
+
+    cfg, params, _, _ = tiny_model()
+    voc = V.init(_jax.random.PRNGKey(1), V.VocosConfig())
+    rng = np.random.default_rng(5)
+    refs = [rng.standard_normal((40, cfg.mel.n_mel_channels)).astype(np.float32)
+            for _ in range(2)]
+    texts = [rng.integers(0, 200, size=30).astype(np.int32) for _ in range(2)]
+    opts = EngineOptions(nfe_step=4, time_parallel_window=4, picard_tol=0.0)
+    plain = InferenceEngine(params, cfg, vocoder_params=voc, options=opts)
+    _, want, _ = plain.generate_batch(refs, texts, [200, 210], seeds=[0, 1],
+                                      fetch_mel=False)
+    tp = InferenceEngine(params, cfg, vocoder_params=voc, options=opts)
+    tp.enable_time_parallel(make_mesh(data=8, model=1))  # rows = W*b = 8
+    _, got, _ = tp.generate_batch(refs, texts, [200, 210], seeds=[0, 1],
+                                  fetch_mel=False)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(a, b_, atol=2e-4)
 
 
 def test_picard_composes_with_tensor_parallel():
