@@ -222,6 +222,35 @@ def test_picard_shard_map_mesh_mode_matches():
     np.testing.assert_allclose(got_t, host_t, atol=3e-4)
 
 
+def test_picard_shard_map_divides_per_device_flops():
+    """The whole point of the axis: per-device FLOPs must divide ~W-fold.
+    XLA cost analysis on the partitioned executable (8 devices, W*b=8 rows)
+    measured 7.1x at this config; guard against regressions to the GSPMD
+    constraint behavior (2.4x — grouped convs replicated)."""
+    import functools
+
+    from f5_tts_tpu.parallel.mesh import make_mesh
+
+    params = make_params(SMALL)
+    cond, text, duration, noise, lens = _problem(seed=37)
+    opts = C.SampleOptions(steps=8, precompute_adaln=False,
+                           time_parallel_window=8, picard_tol=0.0)
+    mesh = make_mesh(data=8, model=1)
+
+    def g(params, cond, text, duration, noise, lens, m):
+        return C.sample(params, SMALL, cond, text, duration, noise, lens=lens,
+                        opts=opts, backend="sdpa", time_parallel_mesh=m)
+
+    with mesh:
+        fm = (jax.jit(functools.partial(g, m=mesh))
+              .lower(params, cond, text, duration, noise, lens)
+              .compile().cost_analysis()["flops"])
+    fs = (jax.jit(functools.partial(g, m=None))
+          .lower(params, cond, text, duration, noise, lens)
+          .compile().cost_analysis()["flops"])
+    assert fs / fm > 5.0, f"per-device flops ratio {fs/fm:.2f} (want ~8)"
+
+
 def test_engine_time_parallel_mesh_serving():
     """InferenceEngine.enable_time_parallel(mesh): the fused serving graph
     runs the window over 8 devices, wavs identical to the plain engine."""
