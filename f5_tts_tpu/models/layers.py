@@ -208,10 +208,69 @@ def conv_pos_embed_xla(p, x, mask=None, groups: int = 16):
     return x
 
 
+def _grouped_conv1d_taps(p, x, groups: int):
+    """Grouped k-tap conv as k shifted block-diagonal einsums.
+
+    GSPMD workaround: XLA's partitioner refuses to batch-shard convolutions
+    with ``feature_group_count > 1`` — under a data-parallel mesh the grouped
+    conv all-gathers and runs the FULL batch replicated on every device
+    (measured: per-device flops ratio 3.7/8 on a dp=8 train step, convs at
+    full batch in the partitioned HLO; vmap-over-groups folds back to the
+    same grouped conv).  Expressed as per-tap einsums the op stays dot-based
+    and shards cleanly (zero all-gathers).  Same math, same fan-in order."""
+    k = p["kernel"].shape[0]
+    b, n, c = x.shape
+    g, cg = groups, c // groups
+    lo = (k - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (lo, k - 1 - lo), (0, 0)))
+    xg = xp.reshape(b, n + k - 1, g, cg)
+    wg = p["kernel"].astype(x.dtype).reshape(k, cg, g, cg)  # [k, in/g, g, out/g]
+    out = jnp.zeros((b, n, g, cg), x.dtype)
+    for t in range(k):
+        out = out + jnp.einsum("bngi,igo->bngo", xg[:, t : t + n], wg[t])
+    out = out.reshape(b, n, c)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def conv_pos_embed_taps(p, x, mask=None, groups: int = 16):
+    """conv_pos_embed via the einsum-tap grouped conv (GSPMD-shardable);
+    numerics match conv_pos_embed_xla to float reassociation."""
+    m = None if mask is None else mask[..., None].astype(x.dtype)
+    if m is not None:
+        x = x * m
+    x = mish(_grouped_conv1d_taps(p["conv1"], x, groups))
+    if m is not None:
+        x = x * m
+    x = mish(_grouped_conv1d_taps(p["conv2"], x, groups))
+    if m is not None:
+        x = x * m
+    return x
+
+
+# "auto": fused Pallas chain on TPU, XLA grouped convs elsewhere.
+# "taps": einsum-tap formulation — set via set_convpos_impl for data-parallel
+# meshes where the XLA grouped conv would run replicated (see
+# _grouped_conv1d_taps); trace-time static, so set it BEFORE building jits.
+_CONVPOS_IMPL = "auto"
+
+
+def set_convpos_impl(impl: str) -> str:
+    """Returns the previous impl ("auto" | "taps")."""
+    global _CONVPOS_IMPL
+    assert impl in ("auto", "taps"), impl
+    prev, _CONVPOS_IMPL = _CONVPOS_IMPL, impl
+    return prev
+
+
 def conv_pos_embed(p, x, mask=None, groups: int = 16):
     """ConvPositionEmbedding: fused Pallas chain on TPU (ops/fused_convpos.py
     keeps both convs + Mish + re-masking VMEM-resident per group), XLA grouped
-    convs elsewhere."""
+    convs elsewhere; ``set_convpos_impl("taps")`` switches to the
+    GSPMD-shardable einsum-tap formulation for data-parallel meshes."""
+    if _CONVPOS_IMPL == "taps":
+        return conv_pos_embed_taps(p, x, mask=mask, groups=groups)
     try:
         from f5_tts_tpu.ops.fused_convpos import conv_pos_fused, conv_pos_supported
 

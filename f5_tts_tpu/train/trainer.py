@@ -48,6 +48,11 @@ class Trainer:
         tensor_parallel: bool = False,  # Megatron-split weights over mesh 'model' axis
         pipeline_microbatches: int = 0,  # >0 + mesh 'pipe' axis => GPipe block schedule
         sequence_parallel: bool = False,  # mesh 'seq' axis => frame-axis activation sharding
+        convpos_taps: bool | None = None,  # ConvPositionEmbedding impl for the
+        # step graph: None = auto (einsum-tap formulation when the mesh has a
+        # data axis > 1 — XLA GSPMD refuses to batch-shard grouped
+        # convolutions, so the default conv would run the FULL global batch
+        # replicated on every chip; models/layers.py _grouped_conv1d_taps)
         mel_in_graph: bool = False,  # wav-in batches; log-mel extracted ON-DEVICE
         # inside the train step (collate_wav_batch + ops/mel.log_mel_prepadded);
         # host does only C++ threaded decode + pad — the input-pipeline mode
@@ -80,6 +85,9 @@ class Trainer:
         mesh_axes = set(mesh.axis_names) if mesh is not None else set()
         self.pipeline_microbatches = pipeline_microbatches if "pipe" in mesh_axes else 0
         self.sequence_parallel = sequence_parallel and "seq" in mesh_axes
+        if convpos_taps is None:
+            convpos_taps = "data" in mesh_axes and mesh.shape["data"] > 1
+        self.convpos_taps = bool(convpos_taps)
         os.makedirs(ckpt_dir, exist_ok=True)
         self.log_file = log_file or os.path.join(ckpt_dir, "train_log.jsonl")
         self.wandb = None
@@ -137,13 +145,25 @@ class Trainer:
         self._step_fn = self._build_step_fn(opt_cfg)
 
     def _build_step_fn(self, opt_cfg: OptimConfig):
-        return jax.jit(
-            functools.partial(
-                train_step, arch_cfg=self.model_cfg.arch, opt_cfg=opt_cfg,
-                mel_cfg=self.model_cfg.mel, **self._step_extras,
-            ),
-            donate_argnums=(0, 1, 2, 3),
+        fn = functools.partial(
+            train_step, arch_cfg=self.model_cfg.arch, opt_cfg=opt_cfg,
+            mel_cfg=self.model_cfg.mel, **self._step_extras,
         )
+        if self.convpos_taps:
+            # the impl switch is read at TRACE time; scope it to this graph's
+            # tracing so nothing else in the process is affected
+            from f5_tts_tpu.models import layers as L
+
+            inner = fn
+
+            def fn(*a, **k):
+                prev = L.set_convpos_impl("taps")
+                try:
+                    return inner(*a, **k)
+                finally:
+                    L.set_convpos_impl(prev)
+
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
 
     # ------------------------------------------------------------------ ckpt
     def _ckpt_path(self, tag) -> str:

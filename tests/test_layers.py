@@ -62,6 +62,25 @@ def test_conv_pos_embed_matches_torch_masked():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_conv_pos_embed_taps_matches_xla():
+    """The GSPMD-shardable einsum-tap grouped conv (data-parallel training
+    path, see _grouped_conv1d_taps) is the same math as the XLA grouped conv."""
+    key = jax.random.PRNGKey(9)
+    p = L.conv_pos_embed_init(key, 64, kernel_size=31, groups=16)
+    x = randn(2, 40, 64)
+    mask = np.zeros((2, 40), dtype=bool)
+    mask[0, :40] = True
+    mask[1, :25] = True
+    want = np.asarray(L.conv_pos_embed_xla(p, jnp.asarray(x), mask=jnp.asarray(mask)))
+    got = np.asarray(L.conv_pos_embed_taps(p, jnp.asarray(x), mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # even-kernel edge: pad split must match XLA's "same" (lo = (k-1)//2)
+    p8 = L.conv_pos_embed_init(key, 64, kernel_size=8, groups=16)
+    want8 = np.asarray(L.conv_pos_embed_xla(p8, jnp.asarray(x)))
+    got8 = np.asarray(L.conv_pos_embed_taps(p8, jnp.asarray(x)))
+    np.testing.assert_allclose(got8, want8, atol=1e-5)
+
+
 def test_timestep_embed_matches_torch():
     key = jax.random.PRNGKey(4)
     p = L.timestep_embed_init(key, 128)

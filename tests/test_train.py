@@ -140,6 +140,37 @@ def test_trainer_loop_with_mesh(tmp_path):
     assert upd >= 1
 
 
+def test_trainer_dp_convpos_taps_matches_plain(tmp_path):
+    """Data-parallel trainers default to the einsum-tap ConvPositionEmbedding
+    (GSPMD refuses to batch-shard grouped convolutions — the default conv
+    runs the full global batch replicated per chip); first-step loss must
+    match the plain single-device trainer."""
+    import json as _json
+
+    from f5_tts_tpu.parallel.mesh import make_mesh
+
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16), tokenizer="byte")
+    ds = make_dataset(8)
+
+    base = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=20),
+                   ckpt_dir=str(tmp_path / "ckb"), batch_size_per_device=400, max_samples=4,
+                   save_per_updates=1000, last_per_updates=1000, seed=0)
+    assert not base.convpos_taps  # no mesh -> default conv impl
+    base.train(D.init(jax.random.PRNGKey(0), arch), ds, epochs=1, resume=False)
+    loss0 = _json.loads(open(base.log_file).read().strip().splitlines()[0])["loss"]
+
+    mesh = make_mesh(data=4, model=1)
+    tr = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=20),
+                 ckpt_dir=str(tmp_path / "ckt"), batch_size_per_device=400, max_samples=4,
+                 save_per_updates=1000, last_per_updates=1000, seed=0, mesh=mesh)
+    assert tr.convpos_taps  # auto-on for data > 1
+    tr.train(D.init(jax.random.PRNGKey(0), arch), ds, epochs=1, resume=False)
+    loss1 = _json.loads(open(tr.log_file).read().strip().splitlines()[0])["loss"]
+    assert abs(loss0 - loss1) < 2e-3, (loss0, loss1)
+
+
 def test_trainer_loop_dp_pp_tp(tmp_path):
     """Trainer with tensor_parallel + pipeline_microbatches on a 2x2x2
     (data x pipe x model) mesh: weights Megatron+depth sharded, GPipe block
