@@ -58,6 +58,12 @@ class EngineOptions:
     # meshes (the window rows shard over `data`), not a single-chip win.
     time_parallel_window: int = 0
     picard_tol: float = 1e-3
+    # ConvPositionEmbedding via the GSPMD-shardable einsum-tap formulation
+    # (models/layers.py _grouped_conv1d_taps).  Enable for data-parallel mesh
+    # serving: GSPMD runs grouped convolutions replicated at the FULL batch on
+    # every device otherwise.  Single-chip default keeps the tuned
+    # Pallas/grouped-conv path.  BatchServer turns this on automatically.
+    convpos_taps: bool = False
 
     def sample_opts(self) -> cfm.SampleOptions:
         return cfm.SampleOptions(
@@ -107,20 +113,28 @@ def _sample_and_decode(
         return jax.random.normal(jax.random.PRNGKey(seed), (n, d), dtype=jnp.float32)
 
     noise = jax.vmap(noise_one)(seeds).astype(cond.dtype)
-    mel_out = cfm.sample(
-        dit_params,
-        model_cfg.arch,
-        cond,
-        text_ids,
-        duration,
-        noise,
-        lens=lens,
-        opts=opts.sample_opts(),
-        backend=opts.backend,
-        block_scan=hooks[0],
-        activation_constraint=hooks[1],
-        time_parallel_mesh=hooks[2] if len(hooks) > 2 else None,
-    )
+    # the convpos impl switch is thread-local and read while THIS body traces;
+    # opts is a static jit arg, so the choice is part of the cache key
+    from f5_tts_tpu.models.layers import set_convpos_impl
+
+    prev_impl = set_convpos_impl("taps" if opts.convpos_taps else "auto")
+    try:
+        mel_out = cfm.sample(
+            dit_params,
+            model_cfg.arch,
+            cond,
+            text_ids,
+            duration,
+            noise,
+            lens=lens,
+            opts=opts.sample_opts(),
+            backend=opts.backend,
+            block_scan=hooks[0],
+            activation_constraint=hooks[1],
+            time_parallel_mesh=hooks[2] if len(hooks) > 2 else None,
+        )
+    finally:
+        set_convpos_impl(prev_impl)
     if not decode or voc_params is None:
         return mel_out, None
     # roll the generated region to the front per sample, pad tail with the

@@ -73,6 +73,16 @@ class BatchServer:
                 )
             dp = mesh.shape[DATA_AXIS]
             assert batch_size % dp == 0, f"batch {batch_size} must divide over data axis {dp}"
+            if dp > 1 and not self.engine.options.convpos_taps:
+                # GSPMD runs grouped convs replicated at the full batch under
+                # a data mesh (docs/parallelism.md caveat); the einsum-tap
+                # impl shards.  Static in EngineOptions => its own jit cache
+                # entry, thread-safe under overlap workers.
+                import dataclasses as _dc2
+
+                self.engine.options = _dc2.replace(
+                    self.engine.options, convpos_taps=True
+                )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))

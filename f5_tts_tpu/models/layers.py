@@ -18,6 +18,7 @@ transposes torch's [out, in]).
 from __future__ import annotations
 
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -252,16 +253,24 @@ def conv_pos_embed_taps(p, x, mask=None, groups: int = 16):
 # "auto": fused Pallas chain on TPU, XLA grouped convs elsewhere.
 # "taps": einsum-tap formulation — set via set_convpos_impl for data-parallel
 # meshes where the XLA grouped conv would run replicated (see
-# _grouped_conv1d_taps); trace-time static, so set it BEFORE building jits.
-_CONVPOS_IMPL = "auto"
+# _grouped_conv1d_taps).  THREAD-LOCAL and read at trace time: scope a
+# set/restore pair around the code that traces the graph (Trainer step build,
+# engine _sample_and_decode body), so concurrent traces on server worker
+# threads can't see each other's switch.  Callers must also key their jit
+# cache on the choice (EngineOptions.convpos_taps is a static arg).
+_convpos_tls = threading.local()
 
 
 def set_convpos_impl(impl: str) -> str:
-    """Returns the previous impl ("auto" | "taps")."""
-    global _CONVPOS_IMPL
+    """Returns the previous impl ("auto" | "taps"); thread-local."""
     assert impl in ("auto", "taps"), impl
-    prev, _CONVPOS_IMPL = _CONVPOS_IMPL, impl
+    prev = getattr(_convpos_tls, "impl", "auto")
+    _convpos_tls.impl = impl
     return prev
+
+
+def _convpos_impl() -> str:
+    return getattr(_convpos_tls, "impl", "auto")
 
 
 def conv_pos_embed(p, x, mask=None, groups: int = 16):
@@ -269,7 +278,7 @@ def conv_pos_embed(p, x, mask=None, groups: int = 16):
     keeps both convs + Mish + re-masking VMEM-resident per group), XLA grouped
     convs elsewhere; ``set_convpos_impl("taps")`` switches to the
     GSPMD-shardable einsum-tap formulation for data-parallel meshes."""
-    if _CONVPOS_IMPL == "taps":
+    if _convpos_impl() == "taps":
         return conv_pos_embed_taps(p, x, mask=mask, groups=groups)
     try:
         from f5_tts_tpu.ops.fused_convpos import conv_pos_fused, conv_pos_supported

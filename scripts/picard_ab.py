@@ -26,9 +26,15 @@ def main():
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env vars alone are too late "
+                    "when a sitecustomize pre-registers a TPU plugin)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
