@@ -7,7 +7,10 @@ Single-chip expectation: the window batches W steps onto the matmul M axis
 loses the precomputed-AdaLN tables, so this is a MULTI-CHIP latency lever —
 run this script to record the honest single-chip number.
 
-    PYTHONPATH=. python scripts/picard_ab.py [--nfe 16] [--window 8] [--iters 6]
+    python scripts/picard_ab.py [--nfe 16] [--window 8] [--iters 6]
+
+(No PYTHONPATH needed — the script inserts "." itself. Never set PYTHONPATH=.
+alone: it clobbers /root/.axon_site and silently drops the TPU plugin.)
 """
 
 import argparse
