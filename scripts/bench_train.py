@@ -61,7 +61,17 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     frames_s = b * n / dt
     print(f"step: {dt*1000:.1f} ms, {frames_s:,.0f} frames/s/chip (batch {b}x{n})", file=sys.stderr)
-    print(json.dumps({"metric": "train_frames_per_s", "value": round(frames_s), "unit": "frames/s/chip"}))
+    # MFU on the repo-wide basis (f5_tts_tpu/utils/flops.py: fwd+bwd = 3x fwd,
+    # remat recompute not counted)
+    from f5_tts_tpu.utils.flops import V5E_BF16_PEAK_FLOPS, train_step_flops
+
+    step_flops = train_step_flops(MODEL_CONFIGS["F5TTS_v1_Base"], n, batch=b)
+    tflops = step_flops / dt / 1e12
+    mfu_pct = 100.0 * step_flops / dt / V5E_BF16_PEAK_FLOPS
+    print(f"MFU: {tflops:.1f} TFLOP/s = {mfu_pct:.1f}% of v5e bf16 peak", file=sys.stderr)
+    print(json.dumps({"metric": "train_frames_per_s", "value": round(frames_s),
+                      "unit": "frames/s/chip", "model_tflops_per_s": round(tflops, 1),
+                      "mfu_pct": round(mfu_pct, 1)}))
 
 
 if __name__ == "__main__":
