@@ -1,8 +1,10 @@
 """Host-side audio I/O and resampling (numpy/scipy; no torchaudio/soundfile).
 
-WAV read/write via scipy.io.wavfile (PCM16/24/32 + float); resampling via
-polyphase filtering (scipy.signal.resample_poly), the same windowed-sinc
-family torchaudio's Resample uses.
+WAV read/write via scipy.io.wavfile (PCM16/24/32 + float); mp3/flac via the
+native C++ decoders (native/mp3dec.cpp, native/flacdec.cpp — the reference
+routes these through torchaudio/ffmpeg, reference model/dataset.py:142-161);
+resampling via polyphase filtering (scipy.signal.resample_poly), the same
+windowed-sinc family torchaudio's Resample uses.
 """
 
 from __future__ import annotations
@@ -15,7 +17,22 @@ from scipy.signal import resample_poly
 
 
 def load_wav(path: str) -> tuple[np.ndarray, int]:
-    """Returns (mono float32 waveform in [-1, 1], sample_rate)."""
+    """Returns (mono float32 waveform in [-1, 1], sample_rate).
+
+    Dispatches by content: RIFF/WAVE through scipy, anything else (mp3,
+    flac) through the native decoder library.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic[:4] != b"RIFF":
+        from . import native_loader
+
+        loaded = native_loader.load_wav_mono(path)
+        if loaded is None:
+            raise RuntimeError(
+                f"{path}: not a WAV file and the native mp3/flac decoder is "
+                "unavailable (g++ build failed?)")
+        return loaded
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         wav = data.astype(np.float32) / 32768.0

@@ -1,7 +1,9 @@
-"""ctypes bindings for the native C++ audio loader (native/audioio.cpp).
+"""ctypes bindings for the native C++ audio loader (native/audioio.cpp +
+native/mp3dec.cpp + native/flacdec.cpp).
 
-Batch WAV decode + resample off the GIL; CustomDataset and the prep scripts use
-it when available, falling back to the scipy path transparently.
+Batch wav/mp3/flac decode + resample off the GIL; CustomDataset and the prep
+scripts use it when available, falling back to the scipy path transparently
+(the fallback is WAV-only — mp3/flac require the native build).
 """
 
 from __future__ import annotations
@@ -13,8 +15,12 @@ import warnings
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-                    "native", "audioio.cpp")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                           "native")
+_SRCS = [os.path.join(_NATIVE_DIR, name)
+         for name in ("audioio.cpp", "mp3dec.cpp", "flacdec.cpp")]
+_DEPS = _SRCS + [os.path.join(_NATIVE_DIR, name)
+                 for name in ("decoders.h", "mp3_tables.inc")]
 _CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "f5_tts_tpu")
 
 _lib = None
@@ -25,14 +31,16 @@ def _ensure() -> bool:
     global _lib, _failed
     if _lib is not None:
         return True
-    if _failed or not os.path.isfile(_SRC):
+    if _failed or not all(os.path.isfile(p) for p in _DEPS):
         return False
     so_path = os.path.join(_CACHE_DIR, "libaudioio.so")
-    if not (os.path.isfile(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
+    src_mtime = max(os.path.getmtime(p) for p in _DEPS)
+    if not (os.path.isfile(so_path) and os.path.getmtime(so_path) >= src_mtime):
         os.makedirs(_CACHE_DIR, exist_ok=True)
         try:
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC, "-o", so_path],
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+                 *_SRCS, "-o", so_path],
                 check=True, capture_output=True,
             )
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -60,7 +68,9 @@ def native_available() -> bool:
 
 
 def load_wav_mono(path: str) -> tuple[np.ndarray, int] | None:
-    """Native single-file load; None if unsupported (caller falls back)."""
+    """Native single-file load (wav/mp3/flac by content sniffing); None if
+    the native library is unavailable or the file can't be decoded (caller
+    falls back)."""
     if not _ensure():
         return None
     sr = ctypes.c_int(0)

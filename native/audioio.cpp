@@ -1,12 +1,16 @@
 // Native audio loader — C++ replacement for the torchaudio C++ decode/resample
 // path the reference leans on in its DataLoader workers (reference
-// model/dataset.py:142-161).  WAV (PCM 16/24/32, float32) decode to mono +
-// kaiser-windowed-sinc polyphase resampling, batched over a thread pool so
-// dataset preparation and training input pipelines aren't GIL-bound.
+// model/dataset.py:142-161).  WAV (PCM 16/24/32, float32), mp3 (MPEG-1/2/2.5
+// Layer III, native/mp3dec.cpp — the Emilia pretraining corpus format) and
+// FLAC (native/flacdec.cpp) decode to mono + kaiser-windowed-sinc polyphase
+// resampling, batched over a thread pool so dataset preparation and training
+// input pipelines aren't GIL-bound.  Format dispatch is by content (magic
+// bytes), not extension.
 //
 // C API (ctypes):
 //   long wav_read_mono(const char* path, float* out, long max_len, int* sr);
-//       -> samples written, or -1 on error (out==nullptr: probe length only)
+//       -> samples written, or -1 on error (out==nullptr: probe length only;
+//          the decode is cached per-thread so probe-then-read decodes once)
 //   long resample_poly(const float* in, long n_in, int up, int down,
 //                      float* out, long max_out);
 //   int  load_batch_mono(const char** paths, int n, int target_sr,
@@ -19,8 +23,11 @@
 #include <cstdio>
 #include <cstring>
 #include <numeric>
+#include <string>
 #include <thread>
 #include <vector>
+
+#include "decoders.h"
 
 namespace {
 
@@ -34,45 +41,39 @@ uint32_t rd_u32(const unsigned char* p) {
 }
 uint16_t rd_u16(const unsigned char* p) { return p[0] | (p[1] << 8); }
 
-bool read_wav(const char* path, WavData& out) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return false;
-  unsigned char hdr[12];
-  if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr, "RIFF", 4) || memcmp(hdr + 8, "WAVE", 4)) {
-    fclose(f);
-    return false;
-  }
+bool parse_wav(const uint8_t* raw, size_t raw_size, WavData& out) {
+  if (raw_size < 12 || memcmp(raw, "RIFF", 4) || memcmp(raw + 8, "WAVE", 4)) return false;
   uint16_t fmt = 0, channels = 0, bits = 0;
   uint32_t rate = 0;
-  std::vector<unsigned char> data;
-  unsigned char chunk[8];
-  while (fread(chunk, 1, 8, f) == 8) {
-    uint32_t size = rd_u32(chunk + 4);
-    if (!memcmp(chunk, "fmt ", 4)) {
-      std::vector<unsigned char> buf(size);
-      if (fread(buf.data(), 1, size, f) != size) break;
-      fmt = rd_u16(buf.data());
-      channels = rd_u16(buf.data() + 2);
-      rate = rd_u32(buf.data() + 4);
-      bits = rd_u16(buf.data() + 14);
-      if (fmt == 0xFFFE && size >= 40) fmt = rd_u16(buf.data() + 24);  // extensible
-    } else if (!memcmp(chunk, "data", 4)) {
-      data.resize(size);
-      size_t got = fread(data.data(), 1, size, f);
-      data.resize(got);
+  const uint8_t* data = nullptr;
+  size_t data_size = 0;
+  size_t pos = 12;
+  while (pos + 8 <= raw_size) {
+    uint32_t size = rd_u32(raw + pos + 4);
+    const uint8_t* body = raw + pos + 8;
+    size_t avail = raw_size - pos - 8;
+    if (size > avail) size = static_cast<uint32_t>(avail);
+    if (!memcmp(raw + pos, "fmt ", 4) && size >= 16) {
+      fmt = rd_u16(body);
+      channels = rd_u16(body + 2);
+      rate = rd_u32(body + 4);
+      bits = rd_u16(body + 14);
+      if (fmt == 0xFFFE && size >= 40) fmt = rd_u16(body + 24);  // extensible
+    } else if (!memcmp(raw + pos, "data", 4)) {
+      data = body;
+      data_size = size;
       break;
-    } else {
-      fseek(f, (size + 1) & ~1u, SEEK_CUR);
     }
+    pos += 8 + ((size + 1) & ~1u);
   }
-  fclose(f);
-  if (!rate || !channels || data.empty()) return false;
+  if (!rate || !channels || !bits || !data || !data_size) return false;
 
   const size_t bytes_per = bits / 8;
-  const size_t frames = data.size() / (bytes_per * channels);
+  if (!bytes_per) return false;
+  const size_t frames = data_size / (bytes_per * channels);
   out.samples.resize(frames);
   out.sample_rate = static_cast<int>(rate);
-  const unsigned char* p = data.data();
+  const unsigned char* p = data;
   for (size_t i = 0; i < frames; ++i) {
     double acc = 0.0;
     for (int c = 0; c < channels; ++c) {
@@ -101,6 +102,35 @@ bool read_wav(const char* path, WavData& out) {
     out.samples[i] = static_cast<float>(acc / channels);
   }
   return true;
+}
+
+bool read_audio(const char* path, WavData& out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (fsize <= 0) {
+    fclose(f);
+    return false;
+  }
+  std::vector<uint8_t> raw(static_cast<size_t>(fsize));
+  size_t got = fread(raw.data(), 1, raw.size(), f);
+  fclose(f);
+  raw.resize(got);
+  if (raw.size() < 12) return false;
+  if (!memcmp(raw.data(), "RIFF", 4)) return parse_wav(raw.data(), raw.size(), out);
+  // ID3 tags can prefix either flac or mp3; flac_decode_stream skips them
+  // itself, so try flac when the post-tag magic says so, else mp3.
+  size_t body = 0;
+  if (!memcmp(raw.data(), "ID3", 3)) {
+    size_t sz = ((raw[6] & 0x7F) << 21) | ((raw[7] & 0x7F) << 14) |
+                ((raw[8] & 0x7F) << 7) | (raw[9] & 0x7F);
+    body = 10 + sz + ((raw[5] & 0x10) ? 10 : 0);
+  }
+  if (body + 4 <= raw.size() && !memcmp(raw.data() + body, "fLaC", 4))
+    return flac_decode_stream(raw.data(), raw.size(), out.samples, &out.sample_rate);
+  return mp3_decode_stream(raw.data(), raw.size(), out.samples, &out.sample_rate);
 }
 
 double bessel_i0(double x) {
@@ -154,13 +184,29 @@ std::vector<float> resample(const std::vector<float>& x, int up, int down) {
   return y;
 }
 
+// Per-thread single-entry decode cache: the Python binding probes the length
+// first, then reads — for compressed formats that would decode twice.
+thread_local std::string g_cache_path;
+thread_local WavData g_cache;
+
+bool read_audio_cached(const char* path, WavData& out) {
+  if (g_cache_path == path && !g_cache.samples.empty()) {
+    out = g_cache;
+    return true;
+  }
+  if (!read_audio(path, out)) return false;
+  g_cache_path = path;
+  g_cache = out;
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
 
 long wav_read_mono(const char* path, float* out, long max_len, int* sr) {
   WavData w;
-  if (!read_wav(path, w)) return -1;
+  if (!read_audio_cached(path, w)) return -1;
   if (sr) *sr = w.sample_rate;
   const long n = static_cast<long>(w.samples.size());
   if (out) {
@@ -188,7 +234,7 @@ int load_batch_mono(const char** paths, int n, int target_sr, float* out, long s
       const int i = next.fetch_add(1);
       if (i >= n) return;
       WavData w;
-      if (!read_wav(paths[i], w)) {
+      if (!read_audio(paths[i], w)) {
         lens[i] = -1;
         errors.fetch_add(1);
         continue;

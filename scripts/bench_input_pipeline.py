@@ -7,6 +7,10 @@ producer rate (decode + resample + collate) in mel-frames/s for:
   mel-path  per-item python decode + numpy log-mel (classic collate_batch)
   wav-path  native C++ threaded batch decode + pad only; mel moves into the
             train graph (Trainer(mel_in_graph=True), collate_wav_batch)
+  mp3-path  same wav-path producer over an mp3 copy of the dataset (the
+            Emilia pretraining format, 64 kbps 24 kHz mono) — decode by
+            native/mp3dec.cpp
+  flac-path same over a flac copy (native/flacdec.cpp)
 
 Compare against the device consumption rate (~38.4k frames/s/chip,
 scripts/bench_train.py).  Reference counterpart: torch DataLoader workers
@@ -15,10 +19,13 @@ scripts/bench_train.py).  Reference counterpart: torch DataLoader workers
 Usage: python scripts/bench_input_pipeline.py [n_files] [out_dir]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -28,7 +35,6 @@ def main():
     # distinct (b, frames) shape costs a full remote compile on the tunnel)
     dur_lo, dur_hi = (9.6, 10.7) if "--train" in sys.argv else (3.0, 15.0)
 
-    import os
 
     from f5_tts_tpu.audio.io import save_wav
     from f5_tts_tpu.ops.mel import MelConfig
@@ -61,10 +67,39 @@ def main():
     def frames_of(batch):
         return sum(int(np.ceil(ds.get_frame_len(i))) for i in batch)
 
-    # --- wav path (C++ batch decode, mel in-graph)
+    # mp3 + flac copies of the same dataset (Emilia's corpus format is mp3:
+    # reference prepare_emilia_v2.py:35); encoded via the test oracles
+    compressed = []
+    try:
+        from tests.oracles import codec_oracle
+        from tests.oracles.flac_encoder import encode_flac
+        from f5_tts_tpu.audio.io import load_wav
+
+        for fmt in ("mp3", "flac"):
+            fmt_rows = []
+            for r in rows:
+                path = r["audio_path"].replace(".wav", f".{fmt}")
+                if not os.path.isfile(path):
+                    wav, wsr = load_wav(r["audio_path"])
+                    if fmt == "mp3":
+                        blob = codec_oracle.lame_encode_mp3(wav, wsr, bitrate=64)
+                    else:
+                        ints = np.clip(wav * 32767, -32768, 32767).astype(np.int64)
+                        blob = encode_flac(ints, wsr, bps=16, subframe="fixed-2")
+                    open(path, "wb").write(blob)
+                fmt_rows.append({**r, "audio_path": path})
+            ds_c = CustomDataset(fmt_rows, durations=[r["duration"] for r in fmt_rows],
+                                 mel_cfg=mel_cfg)
+            compressed.append((fmt, ds_c))
+    except Exception as e:  # oracles unavailable: wav rows still run
+        print(f"(skipping mp3/flac rows: {e})")
+
     for name, fn in (
         ("wav-path (C++ batch decode + pad)",
          lambda b: collate_wav_batch(ds.wav_batch(b), None, "byte", mel_cfg)),
+        *((f"{fmt}-path (C++ batch decode + pad)",
+           lambda b, d=ds_c: collate_wav_batch(d.wav_batch(b), None, "byte", mel_cfg))
+          for fmt, ds_c in compressed),
         ("mel-path (python decode + numpy mel)",
          lambda b: collate_batch([ds[i] for i in b], None, "byte")),
     ):

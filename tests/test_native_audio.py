@@ -55,3 +55,158 @@ def test_native_batch_marks_bad_files(tmp_path, wav_files):
     out, lens = native_loader.load_batch(wav_files + [bad], target_sr=24000, max_seconds=2.0)
     assert lens[-1] == -1
     assert (lens[:-1] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# mp3 / flac decode (native/mp3dec.cpp, native/flacdec.cpp)
+# ---------------------------------------------------------------------------
+
+from tests.oracles import codec_oracle
+from tests.oracles.flac_encoder import encode_flac
+
+_codec = pytest.mark.skipif(not codec_oracle.available(),
+                            reason="system lame/mpg123 oracles unavailable")
+
+
+def _tone(rate, seconds=1.2, stereo=False, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(rate * seconds)) / rate
+    sig = 0.4 * np.sin(2 * np.pi * 313 * t) + 0.15 * np.sin(2 * np.pi * 1789 * t)
+    sig = (sig + 0.08 * rng.standard_normal(len(t))).astype(np.float32)  # noise -> short blocks
+    if stereo:
+        return np.stack([sig, 0.8 * np.roll(sig, 64)], axis=1)
+    return sig
+
+
+@_codec
+@pytest.mark.parametrize("rate,stereo,vbr", [
+    (24000, False, False),   # the Emilia corpus operating point (MPEG-2 mono)
+    (24000, True, True),
+    (44100, True, False),    # MPEG-1 joint stereo
+    (44100, False, True),
+    (16000, False, False),
+    (8000, False, False),    # MPEG-2.5 with its odd band tables
+])
+def test_mp3_decode_matches_mpg123(tmp_path, rate, stereo, vbr):
+    pcm = _tone(rate, stereo=stereo)
+    mp3 = codec_oracle.lame_encode_mp3(pcm, rate, bitrate=64 if rate <= 24000 else 128, vbr=vbr)
+    p = str(tmp_path / "t.mp3")
+    open(p, "wb").write(mp3)
+    got = native_loader.load_wav_mono(p)
+    assert got is not None
+    wav, sr = got
+    assert sr == rate
+    ref, rsr = codec_oracle.mpg123_decode(p)
+    ref = ref.mean(axis=1)
+    assert rsr == rate
+    m = min(len(wav), len(ref))
+    assert abs(len(wav) - len(ref)) <= 1152  # at most one trailing frame
+    assert np.abs(wav[:m] - ref[:m]).mean() < 1e-5
+
+
+@_codec
+def test_mp3_real_world_assets():
+    import os
+    for path in [
+        "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3",
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3",
+    ]:
+        if not os.path.exists(path):
+            continue
+        got = native_loader.load_wav_mono(path)
+        assert got is not None
+        wav, sr = got
+        ref, rsr = codec_oracle.mpg123_decode(path)
+        ref = ref.mean(axis=1)
+        assert sr == rsr
+        m = min(len(wav), len(ref))
+        assert m > sr  # at least a second decoded
+        assert np.abs(wav[:m] - ref[:m]).mean() < 1e-5
+
+
+@pytest.mark.parametrize("mode,sub,bps", [
+    ("independent", "verbatim", 16),
+    ("mid-side", "fixed-2", 16),
+    ("left-side", "fixed-4", 24),
+    ("right-side", "fixed-1", 12),
+    ("independent", "constant", 16),
+])
+def test_flac_roundtrip_exact(tmp_path, mode, sub, bps):
+    rng = np.random.default_rng(1)
+    n, nch = 5000, (1 if mode == "independent" and sub == "verbatim" else 2)
+    amp = (1 << (bps - 1)) - 2
+    if sub == "constant":
+        x = np.full((n, nch), 7, np.int64)
+    else:
+        t = np.arange(n)
+        base = (amp * 0.4 * np.sin(2 * np.pi * t / 50)).astype(np.int64)
+        x = np.stack([(base + rng.integers(-amp // 50, amp // 50, n)).clip(-amp, amp)
+                      for _ in range(nch)], axis=1)
+    data = encode_flac(x, 24000, bps=bps, block_size=1024, channel_mode=mode, subframe=sub)
+    p = str(tmp_path / "t.flac")
+    open(p, "wb").write(data)
+    got = native_loader.load_wav_mono(p)
+    assert got is not None
+    wav, sr = got
+    assert sr == 24000 and len(wav) == n
+    want = (x.astype(np.float64).mean(axis=1) / (1 << (bps - 1))).astype(np.float32)
+    np.testing.assert_array_equal(wav, want)
+
+
+def test_flac_reference_assets_vs_sdl():
+    import glob
+    import os
+    flacs = glob.glob("/root/reference/src/f5_tts/infer/examples/multi/*.flac")
+    if not flacs:
+        pytest.skip("reference flac assets not present")
+    pytest.importorskip("pygame")
+    for path in flacs:
+        got = native_loader.load_wav_mono(path)
+        assert got is not None
+        wav, sr = got
+        ref = codec_oracle.sdl_decode(path, sr, 1)
+        m = min(len(wav), len(ref))
+        assert abs(len(wav) - len(ref)) <= 1
+        # lossless: identical int16-derived floats
+        np.testing.assert_array_equal(wav[:m], ref[:m])
+
+
+@_codec
+def test_load_wav_dispatches_compressed(tmp_path):
+    pcm = _tone(24000)
+    mp3 = codec_oracle.lame_encode_mp3(pcm, 24000, bitrate=64)
+    p_mp3 = str(tmp_path / "x.mp3")
+    open(p_mp3, "wb").write(mp3)
+    wav, sr = load_wav(p_mp3)  # io.load_wav content dispatch
+    assert sr == 24000 and len(wav) > 24000
+
+    ints = np.clip(pcm * 32767, -32768, 32767).astype(np.int64)
+    p_flac = str(tmp_path / "x.flac")
+    open(p_flac, "wb").write(encode_flac(ints, 24000, bps=16, subframe="fixed-2"))
+    wav2, sr2 = load_wav(p_flac)
+    assert sr2 == 24000 and len(wav2) == len(ints)
+    # int16 truncation + 1/32768 scale: within 2 LSB of the float source
+    np.testing.assert_allclose(wav2, pcm, atol=2.0 / 32768)
+
+
+@_codec
+def test_mixed_format_batch_load(tmp_path, wav_files):
+    """wav + mp3 + flac in ONE threaded batch, resampled to 24 kHz."""
+    pcm = _tone(44100, seconds=1.0)
+    p_mp3 = str(tmp_path / "m.mp3")
+    open(p_mp3, "wb").write(codec_oracle.lame_encode_mp3(pcm, 44100, bitrate=128))
+    ints = np.clip(_tone(24000, seconds=1.0) * 32767, -32768, 32767).astype(np.int64)
+    p_flac = str(tmp_path / "f.flac")
+    open(p_flac, "wb").write(encode_flac(ints, 24000, bps=16))
+    paths = wav_files + [p_mp3, p_flac]
+    out, lens = native_loader.load_batch(paths, target_sr=24000, max_seconds=5.0)
+    assert (lens > 0).all(), lens
+    # flac at native rate: exact content
+    np.testing.assert_allclose(out[-1, :lens[-1]],
+                               ints.astype(np.float32) / 32768.0, atol=1e-6)
+    # mp3 at 44.1k -> 24k: compare against oracle decode + scipy resample
+    ref, _ = codec_oracle.mpg123_decode(p_mp3)
+    ref24 = resample(ref.mean(axis=1), 44100, 24000)
+    got = out[-2, :lens[-2]]
+    m = min(len(got), len(ref24))
+    assert np.abs(got[200:m - 200] - ref24[200:m - 200]).mean() < 5e-3
