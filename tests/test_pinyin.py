@@ -140,4 +140,7 @@ def test_fallback_rate_on_jieba_corpus():
                 if ch not in table:
                     miss_w += freq
     rate = miss_w / tot_w
-    assert rate < 0.001, f"freq-weighted fallback rate {rate:.4%} >= 0.1%"
+    # round-4 bar (verdict #5): < 0.01% after the ICU/Unihan tail extension
+    # (scripts/extend_pinyin_table_icu.py); the residual is ~53 chars whose
+    # syllables don't exist in the Emilia vocab at all (OOV either way).
+    assert rate < 0.0001, f"freq-weighted fallback rate {rate:.4%} >= 0.01%"
