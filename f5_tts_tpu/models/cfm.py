@@ -440,6 +440,9 @@ def sample(
             x = x + dt_c * velocity(x + 0.5 * dt_c * k1, t_k + 0.5 * dt_k)
         else:
             x = x + dt_c * velocity(x, t_k, adaln_mods=mods_k)
+        # keep the carry in compute_dtype: fp32 params with bf16 activations
+        # promote the update to fp32 (the picard path casts likewise at :152)
+        x = x.astype(compute_dtype)
         return x, (x if return_trajectory else None)
 
     xs = t_dt if tables is None else (t_dt, tables[0], tables[1])

@@ -75,24 +75,31 @@ def gpipe_block_scan(
     h: jax.Array,  # [b, n, dim]
     t_emb: jax.Array,  # [b, dim_t]
     mask: jax.Array | None,  # [b, n] bool
+    rope: jax.Array | None = None,  # [n, dim_head] rotary angle table
     *,
     mesh: Mesh,
     n_micro: int,
     checkpoint: bool = False,
     policy=None,  # jax.checkpoint policy (models/dit.py remat_policy)
+    seq_shard: bool = False,  # widen the manual region to {pipe, seq}: the
+    # frame axis of h/mask/rope shards over ``seq`` so a per-shard ring
+    # attention body (parallel/ring.py make_ring_attention_local) can rotate
+    # KV inside every microbatch tick — pp x sp without a nested shard_map
 ):
     """Run ``depth`` stacked blocks over ``h`` with the depth axis sharded on
     the mesh's ``pipe`` axis.
 
-    ``block_fn(block_params, h_mb, t_emb_mb, mask_mb) -> h_mb`` applies ONE
-    block to one microbatch. Equivalent to
+    ``block_fn(block_params, h_mb, t_emb_mb, mask_mb, rope) -> h_mb`` applies
+    ONE block to one microbatch. Equivalent to
     ``lax.scan(block_fn, h, stacked_blocks)`` (models/dit.py:161) up to
     float reassociation; parity-tested in tests/test_pipeline_parallel.py.
     """
+    from f5_tts_tpu.parallel.mesh import SEQ_AXIS
+
     pp = mesh.shape[PIPE_AXIS]
     if pp == 1:
         def f(carry, bp):
-            return block_fn(bp, carry, t_emb, mask), None
+            return block_fn(bp, carry, t_emb, mask, rope), None
         if checkpoint:
             f = jax.checkpoint(f, policy=policy)
         out, _ = jax.lax.scan(f, h, stacked_blocks)
@@ -107,13 +114,15 @@ def gpipe_block_scan(
     if mask is None:
         mask = jnp.ones((b, n), bool)
     maskm = mask.reshape(M, mb, n)
+    if rope is None:
+        rope = jnp.zeros((n, 0), h.dtype)
 
-    def stage_fn(blocks_local, xm, tem, maskm):
+    def stage_fn(blocks_local, xm, tem, maskm, rope_local):
         s = jax.lax.axis_index(PIPE_AXIS)
 
         def run_stage(h_in, te, mk):
             def f(carry, bp):
-                return block_fn(bp, carry, te, mk), None
+                return block_fn(bp, carry, te, mk, rope_local), None
             g = jax.checkpoint(f, policy=policy) if checkpoint else f
             out, _ = jax.lax.scan(g, h_in, blocks_local)
             return out
@@ -143,34 +152,69 @@ def gpipe_block_scan(
         acc = jax.lax.psum(jnp.where(s == pp - 1, acc, jnp.zeros_like(acc)), PIPE_AXIS)
         return acc
 
+    if seq_shard:
+        sp = mesh.shape[SEQ_AXIS]
+        assert n % sp == 0, f"frames {n} not divisible by seq axis {sp}"
+        axis_names = frozenset({PIPE_AXIS, SEQ_AXIS})
+        # frame axes shard over seq; each stage/shard holds its contiguous
+        # frame chunk (global offset = shard index * n/sp, which is what the
+        # ring body's owner-offset arithmetic assumes) and its rope rows
+        in_specs = (P(PIPE_AXIS), P(None, None, SEQ_AXIS, None), P(),
+                    P(None, None, SEQ_AXIS), P(SEQ_AXIS))
+        out_specs = P(None, None, SEQ_AXIS, None)
+    else:
+        axis_names = frozenset({PIPE_AXIS})
+        in_specs = (P(PIPE_AXIS), P(), P(), P(), P())
+        out_specs = P()
+
     out = jax.shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(P(PIPE_AXIS), P(), P(), P()),
-        out_specs=P(),
-        axis_names=frozenset({PIPE_AXIS}),
-    )(stacked_blocks, xm, tem, maskm)
+        in_specs=in_specs,
+        out_specs=out_specs,
+        axis_names=axis_names,
+    )(stacked_blocks, xm, tem, maskm, rope)
     return out.reshape(b, n, dim)
 
 
-def make_dit_block_scan(cfg, mesh: Mesh, n_micro: int, backend: str = "auto"):
+def make_dit_block_scan(cfg, mesh: Mesh, n_micro: int, backend: str = "auto",
+                        ring_sequence: str | None = None):
     """Build the ``block_scan`` hook for ``dit.forward`` (models/dit.py):
-    pipelines the DiT block stack over the mesh's ``pipe`` axis."""
+    pipelines the DiT block stack over the mesh's ``pipe`` axis.
+
+    ``ring_sequence``: ring-attention block impl ("auto"/"xla"/"flash") to
+    run INSIDE the pipeline region when the mesh also has a ``seq`` axis —
+    the manual region widens to {pipe, seq} and KV chunks rotate over ICI
+    per microbatch tick (pp x sp without GSPMD's full-KV all-gather).  Falls
+    back to ``backend`` under GSPMD sequence sharding when the frame count
+    does not divide over ``seq``.
+    """
     from f5_tts_tpu.models import layers as L
+    from f5_tts_tpu.parallel.mesh import SEQ_AXIS
+    from f5_tts_tpu.parallel.ring import make_ring_attention_local
+
+    sp = mesh.shape[SEQ_AXIS] if SEQ_AXIS in mesh.axis_names else 1
+    want_ring = bool(ring_sequence) and sp > 1 and mesh.shape[PIPE_AXIS] > 1
 
     def block_scan(stacked_blocks, h, t_emb, mask, rope):
-        def block_fn(bp, hh, te, mk):
+        use_ring = want_ring and h.shape[1] % sp == 0
+        blk_backend = (
+            make_ring_attention_local(ring_sequence) if use_ring else backend
+        )
+
+        def block_fn(bp, hh, te, mk, rp):
             return L.dit_block(
                 bp, hh, te, cfg.heads, mask=mk,
-                rope_freqs=rope, pe_attn_head=cfg.pe_attn_head, backend=backend,
+                rope_freqs=rp if rp is not None and rp.size else None,
+                pe_attn_head=cfg.pe_attn_head, backend=blk_backend,
             )
 
         from f5_tts_tpu.models.dit import remat_policy
 
         return gpipe_block_scan(
-            block_fn, stacked_blocks, h, t_emb, mask,
+            block_fn, stacked_blocks, h, t_emb, mask, rope,
             mesh=mesh, n_micro=n_micro, checkpoint=cfg.checkpoint_activations,
-            policy=remat_policy(cfg),
+            policy=remat_policy(cfg), seq_shard=use_ring,
         )
 
     return block_scan

@@ -11,11 +11,13 @@ all-gather's O(n) resident KV never materializes.
 
 Composition: ``jax.shard_map`` is manual ONLY over ``seq`` (``axis_names``
 subset, same pattern as parallel/pipeline.py), so data/model axes stay under
-GSPMD auto-partitioning and dp x sp x tp compose.  Limitation: the ring does
-NOT nest inside the GPipe ``pipe`` shard_map (the Shardy partitioner rejects
-an inner manual region re-binding the pipe axis) — pp x sp composes via
-GSPMD sequence sharding instead (parallel/sequence.py constraints; attention
-all-gathers KV), which is what the Trainer selects when both flags are set.
+GSPMD auto-partitioning and dp x sp x tp compose.  pp x sp: a nested ring
+shard_map cannot re-bind axes inside the GPipe ``pipe`` region (Shardy
+rejects an inner manual region over axes the parent already bound), so the
+pipeline instead widens its own region to a FLAT manual over {pipe, seq}
+(parallel/pipeline.py ``seq_shard=True``) and calls the per-shard ring body
+directly via ``make_ring_attention_local`` — no inner shard_map, KV chunks
+still rotate with ppermute over ``seq`` inside every microbatch tick.
 
 Masking is the reference's key-side prefix padding mask
 (src/f5_tts/model/modules.py:513-518): global column c of batch row i is
@@ -133,6 +135,35 @@ def ring_supported_flash(n_local: int, dh: int) -> bool:
     return jax.default_backend() != "cpu" and n_local >= 256 and n_local % 256 == 0 and dh % 64 == 0
 
 
+def make_ring_attention_local(block_impl: str = "auto"):
+    """Attention-backend callable for use INSIDE a shard_map region that is
+    already manual over ``seq`` (the flat {pipe, seq} GPipe region,
+    parallel/pipeline.py gpipe_block_scan(seq_shard=True)).
+
+    Unlike ``make_ring_attention`` this opens NO shard_map of its own — the
+    caller's region bound the axis, so the per-shard ring body runs directly.
+    q/k/v/mask are the LOCAL frame shards [b, h, n_local, d] / [b, n_local];
+    the global valid lengths come from a psum of the per-shard mask counts
+    (the padding mask is a global prefix mask — modules.py:513-518 — so
+    contiguous-shard counts sum exactly to the global length).
+    """
+
+    def backend(q, k, v, mask):
+        b, h, nl, dh = q.shape
+        impl = block_impl
+        if impl == "auto":
+            impl = "flash" if ring_supported_flash(nl, dh) else "xla"
+        lens_local = (
+            jnp.full((b,), nl, jnp.int32)
+            if mask is None
+            else jnp.sum(mask, axis=-1).astype(jnp.int32)
+        )
+        lens = jax.lax.psum(lens_local, SEQ_AXIS)
+        return _ring_local(q, k, v, lens, axis_name=SEQ_AXIS, block_impl=impl)
+
+    return backend
+
+
 def make_ring_attention(mesh: Mesh, block_impl: str = "xla"):
     """Build an ``attention``-backend callable (ops/attention.py accepts a
     callable backend) that runs ring attention over ``mesh``'s ``seq`` axis.
@@ -156,11 +187,12 @@ def make_ring_attention(mesh: Mesh, block_impl: str = "xla"):
             if mask is None
             else jnp.sum(mask, axis=-1).astype(jnp.int32)
         )
-        # when already inside a manual shard_map region (e.g. nested in the
-        # GPipe pipe-axis region, pp x sp), the inner shard_map must use the
-        # context's ABSTRACT mesh (whose pipe axis is Manual) — a concrete
-        # Mesh with all-Auto axes is rejected.  Standalone calls keep the
-        # concrete mesh.
+        # under a jax.set_mesh context the shard_map must use the context's
+        # ABSTRACT mesh — a concrete Mesh is rejected there.  Standalone
+        # calls keep the concrete mesh.  NOTE this does NOT make the ring
+        # nest inside another manual region (Shardy: re-binding a
+        # parent-bound axis is illegal) — for pp x sp use
+        # make_ring_attention_local inside the flat {pipe, seq} GPipe region.
         cur = jax.sharding.get_abstract_mesh()
         use_mesh = cur if SEQ_AXIS in getattr(cur, "axis_names", ()) else mesh
         fn = jax.shard_map(

@@ -111,19 +111,19 @@ class Trainer:
 
         activation_constraint = None
         step_backend = "train_auto"
+        ring_in_pipe = None
         if self.sequence_parallel:
             from f5_tts_tpu.parallel.ring import make_ring_attention
             from f5_tts_tpu.parallel.sequence import make_seq_constraint
 
             activation_constraint = make_seq_constraint(mesh)
             if self.pipeline_microbatches:
-                # ring's seq shard_map cannot nest inside the GPipe pipe
-                # region under the Shardy partitioner (inner manual region
-                # re-binds the pipe axis); pp x sp composes via GSPMD
-                # sequence sharding instead — activations stay sharded on
-                # 'seq', attention all-gathers KV (tests/test_ring_attention
-                # test_train_step_pp_sp)
-                pass
+                # pp x sp: a nested ring shard_map cannot re-bind the pipe
+                # axis (Shardy), so the pipeline widens its own manual
+                # region to {pipe, seq} and rotates KV inside every
+                # microbatch tick (parallel/pipeline.py seq_shard;
+                # tests/test_ring_attention test_train_step_pp_sp_ring)
+                ring_in_pipe = "auto"
             else:
                 # differentiable ring attention over the seq axis
                 # (parallel/ring.py): KV chunks rotate over ICI instead of
@@ -136,7 +136,8 @@ class Trainer:
             from f5_tts_tpu.parallel.pipeline import make_dit_block_scan
 
             block_scan = make_dit_block_scan(
-                model_cfg.arch, mesh, self.pipeline_microbatches, backend=step_backend
+                model_cfg.arch, mesh, self.pipeline_microbatches,
+                backend=step_backend, ring_sequence=ring_in_pipe,
             )
         self._step_extras = dict(
             backend=step_backend, block_scan=block_scan,
@@ -406,7 +407,9 @@ class Trainer:
                 if multihost:
                     from f5_tts_tpu.parallel.distributed import process_batch_slice
 
-                    dp = self.mesh.shape["data"]
+                    # rows must divide over the data axis AND the GPipe
+                    # microbatch count (train_step reshapes [M, b/M, ...])
+                    dp = self.mesh.shape["data"] * max(1, self.pipeline_microbatches)
                     b_real = len(batch_idx)
                     idx = list(batch_idx)
                     if b_real % dp:
@@ -469,11 +472,12 @@ class Trainer:
                         for k, v in batch.items()
                     }
                 elif bsh is not None:
-                    # pad batch to a multiple of the data-parallel size; padded
+                    # pad batch to a multiple of the data-parallel size (and
+                    # of the GPipe microbatch count when pipelining); padded
                     # duplicate rows are marked invalid so they contribute zero
                     # loss/grad (the reference never pads — Accelerate shards
                     # exact per-rank batches)
-                    dp = self.mesh.shape["data"]
+                    dp = self.mesh.shape["data"] * max(1, self.pipeline_microbatches)
                     if b_real % dp:
                         pad = dp - b_real % dp
                         reps = -(-pad // b_real)  # repeat rows cyclically if batch < pad

@@ -87,7 +87,8 @@ def dominant_tone(mel_seg: np.ndarray, mel_filter_freqs: np.ndarray) -> int:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--epochs", type=int, default=96)
+    ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--files", type=int, default=192)
     ap.add_argument("--nfe", type=int, default=16)
     ap.add_argument("--window", type=int, default=8)
@@ -142,29 +143,46 @@ def main():
         ema_params = jax.tree.unflatten(tree_def, leaves)
         print(f"loaded params from {args.skip_train}", file=sys.stderr)
     else:
-        import tempfile
+        import shutil
 
         train_cfg = dataclasses.replace(model_cfg, arch=arch_remat)
-        total_updates = max(args.epochs * 40, 200)
-        with tempfile.TemporaryDirectory() as ck:
-            tr = Trainer(
-                train_cfg, None,
-                OptimConfig(mixed_precision=on_tpu, learning_rate=1e-4,
-                            num_warmup_updates=100, total_updates=total_updates),
-                ckpt_dir=ck, batch_size_per_device=8192 if not args.tiny else 2048,
-                max_samples=16, save_per_updates=1_000_000,
-                last_per_updates=1_000_000, seed=0, mel_in_graph=True,
-            )
-            tr.save_checkpoint = lambda *a, **k: None
-            t0 = time.perf_counter()
-            params0 = dit.init(jax.random.PRNGKey(0), train_cfg.arch)
-            _, ema_params, update = tr.train(params0, ds, epochs=args.epochs, resume=False)
-            print(f"trained {update} updates in {time.perf_counter()-t0:.0f}s",
-                  file=sys.stderr)
+        total_updates = max(args.epochs * 16, 200)
+        ck = "/tmp/picard_probe_ck"
+        shutil.rmtree(ck, ignore_errors=True)
+        tr = Trainer(
+            train_cfg, None,
+            OptimConfig(mixed_precision=on_tpu, learning_rate=args.lr,
+                        num_warmup_updates=100, total_updates=total_updates),
+            ckpt_dir=ck, batch_size_per_device=8192 if not args.tiny else 2048,
+            max_samples=16, save_per_updates=1_000_000,
+            last_per_updates=1_000_000, seed=0, mel_in_graph=True,
+        )
+        tr.save_checkpoint = lambda *a, **k: None
+        t0 = time.perf_counter()
+        params0 = dit.init(jax.random.PRNGKey(0), train_cfg.arch)
+        _, ema_params, update = tr.train(params0, ds, epochs=args.epochs, resume=False)
+        print(f"trained {update} updates in {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr)
+        # loss trend from the trainer's JSONL log — the probe's evidence that
+        # the CFM actually descended, independent of the tone-accuracy eval
+        try:
+            lines = [json.loads(x) for x in open(tr.log_file)]
+            head = np.mean([x["loss"] for x in lines[:20]])
+            tail = np.mean([x["loss"] for x in lines[-20:]])
+            print(f"loss trend: first20 {head:.4f} -> last20 {tail:.4f}", file=sys.stderr)
+        except OSError:
+            pass
         leaves, tree_def = jax.tree.flatten(jax.tree.map(np.asarray, ema_params))
         np.savez(args.out, __tree__=np.array(tree_def, dtype=object),
                  **{f"leaf_{i}": l for i, l in enumerate(leaves)})
         print(f"params saved to {args.out}", file=sys.stderr)
+
+    # raw cfm.sample calls below run params at the compute dtype (the engines
+    # cast internally; f32 params x bf16 activations would promote the ODE
+    # carry — see cfm.py ode_step's compute_dtype cast)
+    ema_params = jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+        ema_params)
 
     voc = vocos.init(jax.random.PRNGKey(1))
 

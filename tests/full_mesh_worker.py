@@ -3,10 +3,11 @@
 the 4-axis mesh needs its own interpreter).
 
 All four production parallelism axes in ONE jitted step: data-sharded batch,
-GPipe microbatching over 'pipe', GSPMD sequence sharding over 'seq' (the ring
-shard_map cannot nest inside the pipe manual region — see
-test_ring_attention.test_train_step_pp_sp), Megatron TP over 'model'.  The
-sharded loss must match the single-device step bit-for-bit-ish (fp32 tol).
+GPipe microbatching over 'pipe', ring attention rotating KV over 'seq'
+INSIDE the flat {pipe, seq} manual region (parallel/pipeline.py seq_shard —
+see test_ring_attention.test_train_step_pp_sp_ring), Megatron TP over
+'model'.  The sharded loss must match the single-device step
+bit-for-bit-ish (fp32 tol).
 
 Usage: python tests/full_mesh_worker.py <out_json>
 """
@@ -61,7 +62,8 @@ def main():
                      {k: jnp.asarray(v) for k, v in batch_np.items()}, key)
 
     mesh = make_train_mesh(data=2, pipe=2, seq=2, model=2)
-    block_scan = pp.make_dit_block_scan(cfg, mesh, n_micro=2, backend="sdpa")
+    block_scan = pp.make_dit_block_scan(cfg, mesh, n_micro=2, backend="sdpa",
+                                        ring_sequence="auto")
     specs = pp.pp_param_specs(backbone_param_specs(params), cfg.depth, 2)
     sharded = shard_params(params, mesh, specs)
     opt_state2, ema2, step2 = init_train_state(sharded, opt_cfg)

@@ -222,6 +222,40 @@ def test_trainer_loop_sequence_parallel(tmp_path):
     assert upd >= 1
 
 
+def test_trainer_loop_pp_sp_ring(tmp_path):
+    """Trainer with pipeline_microbatches + sequence_parallel together: ring
+    attention rotates KV inside the flat {pipe, seq} GPipe manual region
+    (trainer wiring of parallel/pipeline.py seq_shard, round-3 verdict #6 —
+    previously this combination silently fell back to GSPMD full-KV
+    all-gather).  First-step loss matches the plain single-device Trainer."""
+    import json as _json
+
+    from f5_tts_tpu.parallel.mesh import make_train_mesh
+
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=16,
+                     text_num_embeds=256, text_dim=16, conv_layers=1, max_pos=256)
+    model_cfg = ModelConfig(name="tiny", arch=arch, mel=MelConfig(n_mel_channels=16), tokenizer="byte")
+    ds = make_dataset(8)
+    params = D.init(jax.random.PRNGKey(0), arch)
+
+    base = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=20),
+                   ckpt_dir=str(tmp_path / "ck0"), batch_size_per_device=400, max_samples=4,
+                   save_per_updates=1000, last_per_updates=1000, seed=0)
+    base.train(params, ds, epochs=1, resume=False)
+    loss0 = _json.loads(open(base.log_file).read().strip().splitlines()[0])["loss"]
+
+    params = D.init(jax.random.PRNGKey(0), arch)  # re-init: step_fn donates its inputs
+    mesh = make_train_mesh(data=1, model=1, pipe=2, seq=2)
+    trainer = Trainer(model_cfg, None, OptimConfig(num_warmup_updates=2, total_updates=20),
+                      ckpt_dir=str(tmp_path / "ck1"), batch_size_per_device=400, max_samples=4,
+                      save_per_updates=1000, last_per_updates=1000, seed=0, mesh=mesh,
+                      sequence_parallel=True, pipeline_microbatches=2)
+    p, ema, upd = trainer.train(params, ds, epochs=1, resume=False)
+    assert upd >= 1
+    loss1 = _json.loads(open(trainer.log_file).read().strip().splitlines()[0])["loss"]
+    np.testing.assert_allclose(loss1, loss0, rtol=2e-4)
+
+
 def test_prepare_csv_wavs_roundtrip(tmp_path):
     from f5_tts_tpu.audio.io import save_wav
     from f5_tts_tpu.train.datasets.prepare_csv_wavs import prepare
