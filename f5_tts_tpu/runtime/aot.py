@@ -19,6 +19,13 @@ TRT pipeline, by design:
 - loading never re-traces Python model code: ``AotEngine`` deserializes the
   StableHLO and XLA compiles it directly for the local chip (the persistent
   compilation cache then makes restarts instant).
+- **load-without-compile**: ``warm_artifacts`` (or ``f5-tts_build-engine
+  --warm``) AOT-compiles the artifacts once on the target topology and
+  packages the XLA persistent-cache entries under ``<dir>/xla_cache/``;
+  ``AotEngine`` seeds the process cache from the package at load, so a cold
+  server's first call is deserialize + cache-hit — the TRT
+  engine-file-deserializes-in-seconds property, with only the warm stage
+  (not the whole build) bound to the target hardware.
 
 Usage:
     engine = InferenceEngine(params, cfg, vocoder_params=voc)      # build box
@@ -47,6 +54,81 @@ from f5_tts_tpu.infer.engine import (
 )
 
 _META = "engine_meta.json"
+_CACHE_SUBDIR = "xla_cache"
+
+
+def warm_artifacts(artifact_dir: str) -> int:
+    """AOT-compile every artifact for THIS host's backend and package the
+    resulting XLA persistent-cache entries under
+    ``<artifact_dir>/xla_cache/`` — the piece that makes the artifact bundle
+    load-without-compile, like a TRT engine file deserializing in seconds.
+
+    jax.export keeps the *lowering* cross-platform, but the *executable* is
+    backend-specific, so this stage runs on a host with the target topology
+    (the serving box's build step, or once at first boot) — the same
+    constraint as ``trtllm-build`` needing the target GPU
+    (run.sh:18-112), except only this warm stage is target-bound, not the
+    whole build.  ``AotEngine`` seeds the process's persistent cache from
+    the packaged entries at load, so a cold process pays deserialize +
+    cache-hit instead of a full XLA compile.
+
+    Returns the number of cache files now packaged.
+    """
+    from jax import export as jexport
+
+    with open(os.path.join(artifact_dir, _META)) as f:
+        meta = json.load(f)
+    cache_dir = os.path.join(artifact_dir, _CACHE_SUBDIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    saved = (
+        jax.config.jax_compilation_cache_dir,
+        jax.config.jax_persistent_cache_min_compile_time_secs,
+        jax.config.jax_persistent_cache_min_entry_size_bytes,
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        for name in meta["artifacts"]:
+            with open(os.path.join(artifact_dir, name), "rb") as f:
+                exp = jexport.deserialize(f.read())
+            # in_avals is the flat leaf list; rebuild the exported pytree
+            leaves = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in exp.in_avals]
+            args, kwargs = jax.tree.unflatten(exp.in_tree, leaves)
+            # jit(exp.call) is exactly how AotEngine dispatches, so the cache
+            # key (module name + HLO + compile options) matches at serving
+            jax.jit(exp.call).lower(*args, **kwargs).compile()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved[0])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", saved[1])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", saved[2])
+    return len(os.listdir(cache_dir))
+
+
+def _seed_packaged_cache(artifact_dir: str) -> int:
+    """Copy packaged cache entries (warm_artifacts) into the process's
+    persistent-cache dir, configuring the repo default if none is set.
+    Entries from a different jax/XLA version or backend simply never match a
+    key — copying is always safe.  Returns entries copied."""
+    import shutil
+
+    packaged = os.path.join(artifact_dir, _CACHE_SUBDIR)
+    if not os.path.isdir(packaged):
+        return 0
+    dest = jax.config.jax_compilation_cache_dir
+    if not dest:
+        dest = os.path.join(os.path.expanduser("~"), ".cache", "jax_comp")
+        jax.config.update("jax_compilation_cache_dir", dest)
+    if os.path.abspath(dest) == os.path.abspath(packaged):
+        return 0
+    os.makedirs(dest, exist_ok=True)
+    n = 0
+    for name in os.listdir(packaged):
+        target = os.path.join(dest, name)
+        if not os.path.exists(target):
+            shutil.copy(os.path.join(packaged, name), target)
+            n += 1
+    return n
 
 
 def default_specs(batch_sizes=(1, 2), buckets=(1024,), ref_buckets=(512,)):
@@ -188,6 +270,10 @@ class AotEngine(InferenceEngine):
             # exp.call re-raises precisely at call time; warn early with context
             print(f"AotEngine: artifacts target {meta['platforms']}, backend is {backend!r}")
         self.fallback = fallback
+        # packaged compile-cache entries (warm_artifacts) make the first
+        # call a cache-hit instead of a full XLA compile — seed before any
+        # artifact dispatch
+        self.seeded_cache_entries = _seed_packaged_cache(artifact_dir)
         # sampler/quant options are BAKED into the artifacts; per-call
         # overrides (api.infer nfe/cfg/sway kwargs) must not silently serve
         # the old graph — _lookup() compares against this snapshot
@@ -202,11 +288,14 @@ class AotEngine(InferenceEngine):
             kind, *rest = stem.split("_")
             b = int(rest[0][1:])
             n = int(rest[1][1:])
+            # dispatch through jit(exp.call): same cache key as the
+            # warm_artifacts compile, one dispatch path per operating point
+            fn = jax.jit(exp.call)
             if kind == "wav":
                 rb = int(rest[2][1:])
-                self._artifacts[("wav", b, rb * hop + n_fft, n)] = exp
+                self._artifacts[("wav", b, rb * hop + n_fft, n)] = fn
             else:
-                self._artifacts[("mel", b, n)] = exp
+                self._artifacts[("mel", b, n)] = fn
 
     def _lookup(self, key, opts, hooks):
         """Resolve the artifact for this call; None means use the live path."""
@@ -232,7 +321,7 @@ class AotEngine(InferenceEngine):
         if exp is None:
             return super()._call_sample_and_decode(
                 dp, vp, model_cfg, opts, cond, tids, lens, duration, seeds, **kw)
-        return exp.call(dp, vp, cond, tids, lens, duration, seeds)
+        return exp(dp, vp, cond, tids, lens, duration, seeds)
 
     def _call_sample_and_decode_from_wav(self, dp, vp, model_cfg, opts, wav_i16,
                                          wav_scale, lens, tids, duration, seeds,
@@ -243,7 +332,7 @@ class AotEngine(InferenceEngine):
             return super()._call_sample_and_decode_from_wav(
                 dp, vp, model_cfg, opts, wav_i16, wav_scale, lens, tids,
                 duration, seeds, n, **kw)
-        return exp.call(dp, vp, wav_i16, wav_scale, lens, tids, duration, seeds)
+        return exp(dp, vp, wav_i16, wav_scale, lens, tids, duration, seeds)
 
 
 def main(argv=None):
@@ -267,6 +356,10 @@ def main(argv=None):
     ap.add_argument("--platforms", nargs="+", default=["tpu"])
     ap.add_argument("--cpu-build", action="store_true",
                     help="force the CPU backend for the build process itself")
+    ap.add_argument("--warm", action="store_true",
+                    help="also AOT-compile the artifacts for THIS host's "
+                    "backend and package the XLA cache entries with them "
+                    "(load-without-compile; requires the target topology)")
     args = ap.parse_args(argv)
 
     if args.cpu_build:
@@ -298,3 +391,11 @@ def main(argv=None):
     print(f"wrote {len(names)} artifacts to {args.out}:")
     for nm in names:
         print(" ", nm)
+    if args.warm:
+        backend = jax.default_backend()
+        if backend not in args.platforms:
+            print(f"--warm skipped: backend {backend!r} not in {args.platforms} "
+                  "(run the warm stage on the target topology)")
+        else:
+            n = warm_artifacts(args.out)
+            print(f"packaged {n} XLA cache entries under {args.out}/{_CACHE_SUBDIR}")

@@ -17,8 +17,11 @@ ARTIFACTS=${ARTIFACTS:-}
 
 if [[ -n "$ARTIFACTS" ]]; then
   echo "[1/4] building AOT engine artifacts -> $ARTIFACTS"
+  # --warm AOT-compiles on this host's topology and packages the XLA cache
+  # entries with the bundle: cold servers load without compiling
   f5-tts_build-engine --out "$ARTIFACTS" --model F5TTS_v1_Base --nfe 16 \
-    --ckpt "$CKPT" --vocoder "$VOC" --batches 1 2 --buckets 1024 --ref-buckets 512
+    --ckpt "$CKPT" --vocoder "$VOC" --batches 1 2 --buckets 1024 --ref-buckets 512 \
+    --warm
   AOT_FLAG=(--artifacts "$ARTIFACTS")
 else
   echo "[1/4] warming compilation cache"

@@ -121,3 +121,44 @@ def test_aot_options_come_from_meta(built):
     cfg, params, voc, eng, out, _ = built
     aot = AotEngine(out, params, cfg, vocoder_params=voc, buckets=(256, 512))
     assert aot.options == eng.options  # nfe etc. restored from engine_meta.json
+
+
+def test_warm_artifacts_load_without_compile(built, tmp_path):
+    """warm_artifacts packages XLA persistent-cache entries with the bundle;
+    a cold process's AotEngine seeds its cache from the package and every
+    artifact dispatch is a cache HIT (no new jit_call entries written) — the
+    TRT engine-file 'deserialize and serve in seconds' property
+    (reference runtime/triton_trtllm/run.sh:18-112)."""
+    import os
+
+    from f5_tts_tpu.runtime.aot import warm_artifacts
+
+    cfg, params, voc, eng, out, names = built
+    saved = (
+        jax.config.jax_compilation_cache_dir,
+        jax.config.jax_persistent_cache_min_compile_time_secs,
+        jax.config.jax_persistent_cache_min_entry_size_bytes,
+    )
+    try:
+        n = warm_artifacts(out)
+        assert n >= len(names)  # one executable per artifact
+
+        # cold-process simulation: fresh, empty persistent cache
+        fresh = str(tmp_path / "proc_cache")
+        jax.config.update("jax_compilation_cache_dir", fresh)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        aot = AotEngine(out, params, cfg, vocoder_params=voc, buckets=(256, 512))
+        assert aot.seeded_cache_entries == n
+        packaged = {f for f in os.listdir(fresh) if f.startswith("jit_call")}
+        assert len(packaged) == n
+
+        refs, texts, durs = _mel_inputs(cfg)
+        aot.generate_batch(refs, texts, durs, seeds=[3, 4])
+        after = {f for f in os.listdir(fresh) if f.startswith("jit_call")}
+        # a miss would WRITE a new jit_call entry; hit leaves the set as-is
+        assert after == packaged
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved[0])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", saved[1])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", saved[2])
