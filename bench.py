@@ -32,8 +32,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from f5_tts_tpu.infer.engine import EngineOptions, InferenceEngine
     from f5_tts_tpu.models import dit, vocos

@@ -32,7 +32,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from f5_tts_tpu.infer.engine import EngineOptions, InferenceEngine
     from f5_tts_tpu.infer.serve import BatchServer, Request, rtf_report

@@ -127,7 +127,9 @@ def train_e2e(rows, mel_cfg):
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from f5_tts_tpu.models import dit
     from f5_tts_tpu.models.configs import MODEL_CONFIGS
     from f5_tts_tpu.train.dataset import CustomDataset

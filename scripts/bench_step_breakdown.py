@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def timed_loop(make_step, x0, iters: int, *consts) -> float:

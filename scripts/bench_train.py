@@ -18,7 +18,9 @@ import numpy as np
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import functools
 
     from f5_tts_tpu.models import dit

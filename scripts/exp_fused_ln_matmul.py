@@ -19,7 +19,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def _kernel(x_ref, w_ref, b_ref, sc_ref, sh_ref, o_ref, *, bk_lanes):

@@ -14,7 +14,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 from f5_tts_tpu.ops.flash_attention import LOG2E, NEG_BIG, _flash, _out_struct
 

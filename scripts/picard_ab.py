@@ -40,7 +40,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from f5_tts_tpu.infer.engine import EngineOptions, InferenceEngine
     from f5_tts_tpu.models import cfm, dit, vocos
     from f5_tts_tpu.models.configs import MODEL_CONFIGS

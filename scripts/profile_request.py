@@ -24,7 +24,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from f5_tts_tpu.infer.engine import (
         EngineOptions, InferenceEngine, _clamp_duration, _sample_and_decode,

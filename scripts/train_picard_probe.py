@@ -107,7 +107,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import dataclasses
 
     import jax.numpy as jnp
@@ -140,7 +142,7 @@ def main():
         blob = np.load(args.skip_train, allow_pickle=True)
         tree_def = blob["__tree__"].item()
         leaves = [blob[f"leaf_{i}"] for i in range(len(blob.files) - 1)]
-        ema_params = jax.tree.unflatten(tree_def, leaves)
+        gen_params = jax.tree.unflatten(tree_def, leaves)
         print(f"loaded params from {args.skip_train}", file=sys.stderr)
     else:
         import shutil
@@ -160,7 +162,11 @@ def main():
         tr.save_checkpoint = lambda *a, **k: None
         t0 = time.perf_counter()
         params0 = dit.init(jax.random.PRNGKey(0), train_cfg.arch)
-        _, ema_params, update = tr.train(params0, ds, epochs=args.epochs, resume=False)
+        # generate from the final ONLINE params: at probe-scale update counts
+        # the production EMA (decay .9999, every 10 steps after 100) is still
+        # ~98% of the barely-trained step-110 snapshot — measured 0.09 tone
+        # accuracy from EMA vs the online weights, with the same 2.1->0.4 loss
+        gen_params, _, update = tr.train(params0, ds, epochs=args.epochs, resume=False)
         print(f"trained {update} updates in {time.perf_counter()-t0:.0f}s",
               file=sys.stderr)
         # loss trend from the trainer's JSONL log — the probe's evidence that
@@ -172,7 +178,7 @@ def main():
             print(f"loss trend: first20 {head:.4f} -> last20 {tail:.4f}", file=sys.stderr)
         except OSError:
             pass
-        leaves, tree_def = jax.tree.flatten(jax.tree.map(np.asarray, ema_params))
+        leaves, tree_def = jax.tree.flatten(jax.tree.map(np.asarray, gen_params))
         np.savez(args.out, __tree__=np.array(tree_def, dtype=object),
                  **{f"leaf_{i}": l for i, l in enumerate(leaves)})
         print(f"params saved to {args.out}", file=sys.stderr)
@@ -180,9 +186,9 @@ def main():
     # raw cfm.sample calls below run params at the compute dtype (the engines
     # cast internally; f32 params x bf16 activations would promote the ODE
     # carry — see cfm.py ode_step's compute_dtype cast)
-    ema_params = jax.tree.map(
+    gen_params = jax.tree.map(
         lambda a: a.astype(dtype) if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
-        ema_params)
+        gen_params)
 
     voc = vocos.init(jax.random.PRNGKey(1))
 
@@ -196,7 +202,7 @@ def main():
     duration = int(round((len(ref_text) + len(gen_text)) * frames_per_char))
     text_ids = np.frombuffer((ref_text + gen_text).encode(), np.uint8).astype(np.int32)
 
-    eng_seq = InferenceEngine(ema_params, model_cfg, vocoder_params=voc, dtype=dtype,
+    eng_seq = InferenceEngine(gen_params, model_cfg, vocoder_params=voc, dtype=dtype,
                               options=EngineOptions(nfe_step=args.nfe))
     mels, _, _ = eng_seq.generate_batch([ref_mel], [text_ids], [duration], seeds=[0])
     gen_mel = np.asarray(mels[0][len(ref_mel):], np.float32)
@@ -225,7 +231,7 @@ def main():
     # graph, so every extra tol is a full remote XLA compile through the
     # tunnel — at tol 1e-3 / NFE 16 / w8 / bucket 1024 both graphs are
     # already in the persistent cache from scripts/picard_ab.py).
-    eng_p = InferenceEngine(ema_params, model_cfg, vocoder_params=voc, dtype=dtype,
+    eng_p = InferenceEngine(gen_params, model_cfg, vocoder_params=voc, dtype=dtype,
                             options=EngineOptions(nfe_step=args.nfe,
                                                   time_parallel_window=args.window,
                                                   picard_tol=args.tol_main))
@@ -251,7 +257,7 @@ def main():
             time_parallel_window=args.window if tol_or_none is not None else 0,
             picard_tol=tol_or_none if tol_or_none is not None else 1e-3)
         return cfm.sample(
-            ema_params, model_cfg.arch, jnp.asarray(cond, dtype), jnp.asarray(tids),
+            gen_params, model_cfg.arch, jnp.asarray(cond, dtype), jnp.asarray(tids),
             jnp.asarray([duration]), noise.astype(dtype),
             lens=jnp.asarray([len(ref_mel)]),
             opts=opts, backend="auto" if on_tpu else "sdpa", return_info=True)

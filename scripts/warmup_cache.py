@@ -20,14 +20,17 @@ def main():
     p.add_argument("--nfe", type=int, nargs="+", default=[16, 32])
     p.add_argument("--buckets", type=int, nargs="+", default=[512, 1024])
     p.add_argument("--batch", type=int, nargs="+", default=[1])
-    p.add_argument("--cache_dir", default="/root/.cache/jax_comp")
+    p.add_argument("--cache_dir", default=None,
+                   help="persistent cache location (default: the durable "
+                   "location from f5_tts_tpu.utils.compile_cache)")
     args = p.parse_args()
 
-    import jax
+    import jax  # noqa: F401  (backend init before engine imports)
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(args.cache_dir)
 
     from f5_tts_tpu.infer.engine import EngineOptions, InferenceEngine
     from f5_tts_tpu.models import vocos
