@@ -15,6 +15,11 @@ import numpy as np
 
 
 def main(argv=None):
+    # serving/train graphs cost minutes of XLA compile; make restarts
+    # cache-hits from a durable location (utils/compile_cache.py)
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="batch inference")
     p.add_argument("-s", "--seed", default=None, type=int)
     p.add_argument("-n", "--expname", default="F5TTS_v1_Base")

@@ -81,6 +81,11 @@ def load_config(args) -> dict:
 
 
 def main(argv=None) -> str | None:
+    # serving/train graphs cost minutes of XLA compile; make restarts
+    # cache-hits from a durable location (utils/compile_cache.py)
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     config = load_config(args)
 

@@ -7,6 +7,11 @@ import argparse
 
 
 def main(argv=None):
+    # serving/train graphs cost minutes of XLA compile; make restarts
+    # cache-hits from a durable location (utils/compile_cache.py)
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="f5-tts_speech-edit")
     p.add_argument("--model", default="F5TTS_v1_Base")
     p.add_argument("--ckpt_file", default="")

@@ -130,6 +130,11 @@ def make_server(tts, ref_audio: str, ref_text: str, port: int = 50051,
 
 
 def main(argv=None):
+    # serving/train graphs cost minutes of XLA compile; make restarts
+    # cache-hits from a durable location (utils/compile_cache.py)
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="f5-tts_grpc-server")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=50051)

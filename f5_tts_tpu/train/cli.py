@@ -54,6 +54,11 @@ def _scalar(v: str):
 
 
 def main(argv=None):
+    # serving/train graphs cost minutes of XLA compile; make restarts
+    # cache-hits from a durable location (utils/compile_cache.py)
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="f5-tts_train")
     p.add_argument("--config", type=str, help="YAML config (reference schema)")
     p.add_argument("--model", type=str, default="F5TTS_v1_Base", help="builtin config name")

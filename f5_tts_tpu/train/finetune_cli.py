@@ -16,6 +16,11 @@ import jax
 
 
 def main(argv=None):
+    # serving/train graphs cost minutes of XLA compile; make restarts
+    # cache-hits from a durable location (utils/compile_cache.py)
+    from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="f5-tts_finetune-cli")
     from f5_tts_tpu.models.configs import MODEL_CONFIGS as _MC
 
