@@ -117,8 +117,9 @@ def _seed_packaged_cache(artifact_dir: str) -> int:
         return 0
     dest = jax.config.jax_compilation_cache_dir
     if not dest:
-        dest = os.path.join(os.path.expanduser("~"), ".cache", "jax_comp")
-        jax.config.update("jax_compilation_cache_dir", dest)
+        from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+        dest = enable_persistent_cache()
     if os.path.abspath(dest) == os.path.abspath(packaged):
         return 0
     os.makedirs(dest, exist_ok=True)
