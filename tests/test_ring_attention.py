@@ -228,14 +228,18 @@ def test_ring_flash_trainable_grads():
         assert np.abs(np.asarray(a) - np.asarray(b_)).mean() < 5e-3
 
 
-def _pp_sp_step(ring_sequence, n=32):
+def _pp_sp_step(ring_sequence, n=32, remat=False):
     """Build base + pipe=2 x seq=2 train steps; returns (loss_base, loss_mesh,
     compiled_mesh_hlo)."""
+    import dataclasses
+
     from f5_tts_tpu.parallel import pipeline as pp
     from f5_tts_tpu.parallel.mesh import make_train_mesh
     from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
 
     cfg = dataclasses_replace_depth4(CFG)
+    if remat:
+        cfg = dataclasses.replace(cfg, checkpoint_activations=True)
     params = dit.init(jax.random.PRNGKey(1), cfg)
     opt_cfg = OptimConfig(num_warmup_updates=2, total_updates=10)
     b, nt = 4, 8
@@ -294,6 +298,14 @@ def test_train_step_pp_sp_ring():
     n_ring = hlo_ring.count("collective-permute")
     n_fb = hlo_fallback.count("collective-permute")
     assert n_ring > n_fb, (n_ring, n_fb)
+
+
+def test_train_step_pp_sp_ring_remat():
+    """The production configs run full activation remat; the ring's ppermute
+    rotation must survive jax.checkpoint INSIDE the flat {pipe, seq} region
+    (checkpointed block scan inside the microbatch tick)."""
+    loss_base, loss_mesh, _ = _pp_sp_step(ring_sequence="xla", remat=True)
+    np.testing.assert_allclose(loss_mesh, loss_base, rtol=2e-5)
 
 
 def dataclasses_replace_depth4(cfg):
