@@ -20,12 +20,11 @@ TRT pipeline, by design:
   StableHLO and XLA compiles it directly for the local chip (the persistent
   compilation cache then makes restarts instant).
 - **load-without-compile**: ``warm_artifacts`` (or ``f5-tts_build-engine
-  --warm``) AOT-compiles the artifacts once on the target topology and
-  packages the XLA persistent-cache entries under ``<dir>/xla_cache/``;
-  ``AotEngine`` seeds the process cache from the package at load, so a cold
-  server's first call is deserialize + cache-hit — the TRT
-  engine-file-deserializes-in-seconds property, with only the warm stage
-  (not the whole build) bound to the target hardware.
+  --warm``) compiles the artifacts once on the target topology and packages
+  the serialized PJRT executables under ``<dir>/executables/<backend>/``;
+  ``AotEngine`` deserializes them directly — a cold server never invokes
+  XLA at all — the TRT engine-file-deserializes-in-seconds property, with
+  only the warm stage (not the whole build) bound to the target hardware.
 
 Usage:
     engine = InferenceEngine(params, cfg, vocoder_params=voc)      # build box
@@ -54,82 +53,81 @@ from f5_tts_tpu.infer.engine import (
 )
 
 _META = "engine_meta.json"
-_CACHE_SUBDIR = "xla_cache"
+_EXEC_SUBDIR = "executables"
+
+
+def _exec_path(artifact_dir: str, platform: str, name: str) -> str:
+    stem = name.rsplit(".", 1)[0]
+    return os.path.join(artifact_dir, _EXEC_SUBDIR, platform, stem + ".jaxexec")
 
 
 def warm_artifacts(artifact_dir: str) -> int:
-    """AOT-compile every artifact for THIS host's backend and package the
-    resulting XLA persistent-cache entries under
-    ``<artifact_dir>/xla_cache/`` — the piece that makes the artifact bundle
-    load-without-compile, like a TRT engine file deserializing in seconds.
+    """Compile every artifact for THIS host's backend ONCE and package the
+    serialized PJRT executables under ``<artifact_dir>/executables/<backend>/``
+    — the piece that makes the bundle load-without-compile, exactly like a
+    TRT engine file deserializing in seconds.
 
     jax.export keeps the *lowering* cross-platform, but the *executable* is
     backend-specific, so this stage runs on a host with the target topology
     (the serving box's build step, or once at first boot) — the same
-    constraint as ``trtllm-build`` needing the target GPU
-    (run.sh:18-112), except only this warm stage is target-bound, not the
-    whole build.  ``AotEngine`` seeds the process's persistent cache from
-    the packaged entries at load, so a cold process pays deserialize +
-    cache-hit instead of a full XLA compile.
+    constraint as ``trtllm-build`` needing the target GPU (run.sh:18-112),
+    except only this warm stage is target-bound, not the whole build.
 
-    Returns the number of cache files now packaged.
+    Persistent-cache entries were tried first and rejected: the cache key
+    hashes process-specific compile-option fingerprints, so entries written
+    by one process MISS in another even with identical HLO (measured: a
+    "warmed" bundle still paid a 246 s first call).  Serialized executables
+    (``jax.experimental.serialize_executable``) round-trip across processes.
+
+    Returns the number of executables packaged.
     """
     from jax import export as jexport
+    from jax.experimental import serialize_executable as jse
 
     with open(os.path.join(artifact_dir, _META)) as f:
         meta = json.load(f)
-    cache_dir = os.path.join(artifact_dir, _CACHE_SUBDIR)
-    os.makedirs(cache_dir, exist_ok=True)
-    saved = (
-        jax.config.jax_compilation_cache_dir,
-        jax.config.jax_persistent_cache_min_compile_time_secs,
-        jax.config.jax_persistent_cache_min_entry_size_bytes,
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        for name in meta["artifacts"]:
-            with open(os.path.join(artifact_dir, name), "rb") as f:
-                exp = jexport.deserialize(f.read())
-            # in_avals is the flat leaf list; rebuild the exported pytree
-            leaves = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in exp.in_avals]
-            args, kwargs = jax.tree.unflatten(exp.in_tree, leaves)
-            # jit(exp.call) is exactly how AotEngine dispatches, so the cache
-            # key (module name + HLO + compile options) matches at serving
-            jax.jit(exp.call).lower(*args, **kwargs).compile()
-    finally:
-        jax.config.update("jax_compilation_cache_dir", saved[0])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", saved[1])
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", saved[2])
-    return len(os.listdir(cache_dir))
-
-
-def _seed_packaged_cache(artifact_dir: str) -> int:
-    """Copy packaged cache entries (warm_artifacts) into the process's
-    persistent-cache dir, configuring the repo default if none is set.
-    Entries from a different jax/XLA version or backend simply never match a
-    key — copying is always safe.  Returns entries copied."""
-    import shutil
-
-    packaged = os.path.join(artifact_dir, _CACHE_SUBDIR)
-    if not os.path.isdir(packaged):
-        return 0
-    dest = jax.config.jax_compilation_cache_dir
-    if not dest:
-        from f5_tts_tpu.utils.compile_cache import enable_persistent_cache
-
-        dest = enable_persistent_cache()
-    if os.path.abspath(dest) == os.path.abspath(packaged):
-        return 0
-    os.makedirs(dest, exist_ok=True)
+    platform = jax.default_backend()
     n = 0
-    for name in os.listdir(packaged):
-        target = os.path.join(dest, name)
-        if not os.path.exists(target):
-            shutil.copy(os.path.join(packaged, name), target)
-            n += 1
+    for name in meta["artifacts"]:
+        with open(os.path.join(artifact_dir, name), "rb") as f:
+            exp = jexport.deserialize(f.read())
+        # in_avals is the flat leaf list; rebuild the exported pytree
+        leaves = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in exp.in_avals]
+        args, kwargs = jax.tree.unflatten(exp.in_tree, leaves)
+        compiled = jax.jit(exp.call).lower(*args, **kwargs).compile()
+        payload, in_tree, out_tree = jse.serialize(compiled)
+        path = _exec_path(artifact_dir, platform, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            import pickle
+
+            pickle.dump((payload, in_tree, out_tree), f)
+        n += 1
     return n
+
+
+def _load_packaged_executable(artifact_dir: str, platform: str, name: str):
+    """Deserialize a warm_artifacts executable for this backend, or None.
+    A payload from a different jaxlib/runtime version fails to load — the
+    caller falls back to compiling the StableHLO artifact."""
+    path = _exec_path(artifact_dir, platform, name)
+    if not os.path.isfile(path):
+        return None
+    from jax.experimental import serialize_executable as jse
+
+    try:
+        import pickle
+
+        with open(path, "rb") as f:
+            payload, in_tree, out_tree = pickle.load(f)
+        # single-device serving executable: default execution_devices is ALL
+        # local devices, which mis-shards args on multi-device hosts
+        return jse.deserialize_and_load(
+            payload, in_tree, out_tree, execution_devices=jax.devices()[:1])
+    except Exception as e:  # noqa: BLE001 — version/topology mismatch
+        print(f"AotEngine: packaged executable {path} failed to load ({e}); "
+              "falling back to XLA compile")
+        return None
 
 
 def default_specs(batch_sizes=(1, 2), buckets=(1024,), ref_buckets=(512,)):
@@ -271,27 +269,29 @@ class AotEngine(InferenceEngine):
             # exp.call re-raises precisely at call time; warn early with context
             print(f"AotEngine: artifacts target {meta['platforms']}, backend is {backend!r}")
         self.fallback = fallback
-        # packaged compile-cache entries (warm_artifacts) make the first
-        # call a cache-hit instead of a full XLA compile — seed before any
-        # artifact dispatch
-        self.seeded_cache_entries = _seed_packaged_cache(artifact_dir)
         # sampler/quant options are BAKED into the artifacts; per-call
         # overrides (api.infer nfe/cfg/sway kwargs) must not silently serve
         # the old graph — _lookup() compares against this snapshot
         self._exported_options = opts
         self._artifacts = {}
+        self.loaded_executables = 0  # warm_artifacts payloads in use
         hop = model_cfg.mel.hop_length
         n_fft = model_cfg.mel.n_fft
         for name in meta["artifacts"]:
-            with open(os.path.join(artifact_dir, name), "rb") as f:
-                exp = jexport.deserialize(f.read())
+            # prefer the packaged PJRT executable (warm_artifacts): loads in
+            # milliseconds-to-seconds with NO XLA compile — the TRT
+            # engine-file deserialize path
+            fn = _load_packaged_executable(artifact_dir, backend, name)
+            if fn is not None:
+                self.loaded_executables += 1
+            else:
+                with open(os.path.join(artifact_dir, name), "rb") as f:
+                    exp = jexport.deserialize(f.read())
+                fn = jax.jit(exp.call)
             stem = name.rsplit(".", 1)[0]
             kind, *rest = stem.split("_")
             b = int(rest[0][1:])
             n = int(rest[1][1:])
-            # dispatch through jit(exp.call): same cache key as the
-            # warm_artifacts compile, one dispatch path per operating point
-            fn = jax.jit(exp.call)
             if kind == "wav":
                 rb = int(rest[2][1:])
                 self._artifacts[("wav", b, rb * hop + n_fft, n)] = fn
@@ -358,8 +358,8 @@ def main(argv=None):
     ap.add_argument("--cpu-build", action="store_true",
                     help="force the CPU backend for the build process itself")
     ap.add_argument("--warm", action="store_true",
-                    help="also AOT-compile the artifacts for THIS host's "
-                    "backend and package the XLA cache entries with them "
+                    help="also compile the artifacts for THIS host's backend "
+                    "and package the serialized executables with them "
                     "(load-without-compile; requires the target topology)")
     args = ap.parse_args(argv)
 
@@ -399,4 +399,5 @@ def main(argv=None):
                   "(run the warm stage on the target topology)")
         else:
             n = warm_artifacts(args.out)
-            print(f"packaged {n} XLA cache entries under {args.out}/{_CACHE_SUBDIR}")
+            print(f"packaged {n} serialized executables under "
+                  f"{args.out}/{_EXEC_SUBDIR}/{backend}")

@@ -67,7 +67,14 @@ def enable_persistent_cache(path: str | None = None,
     cache_dir = path or default_cache_dir()
     os.makedirs(cache_dir, exist_ok=True)
     _merge_entries(_HOME_CACHE, cache_dir)
+    changed = jax.config.jax_compilation_cache_dir != cache_dir
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_time_secs)
+    if changed:
+        # the cache singleton binds its directory at first use; re-bind so a
+        # process that already compiled elsewhere honors the new location
+        from jax.experimental.compilation_cache import compilation_cache as jcc
+
+        jcc.reset_cache()
     return cache_dir

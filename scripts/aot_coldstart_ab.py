@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHILD = r"""
 import json, os, sys, time
-sys.path.insert(0, {root!r})
+sys.path.insert(0, os.environ["AB_ROOT"])
 t00 = time.perf_counter()
 import numpy as np
 import jax, jax.numpy as jnp
@@ -44,7 +44,7 @@ model_cfg = MODEL_CONFIGS["F5TTS_v1_Base"]
 params = get_backbone(model_cfg.arch).init(jax.random.PRNGKey(0), model_cfg.arch)
 voc = vocos.init(jax.random.PRNGKey(1))
 t0 = time.perf_counter()
-eng = AotEngine({out!r}, params, model_cfg, vocoder_params=voc,
+eng = AotEngine(os.environ["AB_OUT"], params, model_cfg, vocoder_params=voc,
                 dtype=jnp.bfloat16)
 load_s = time.perf_counter() - t0
 rng = np.random.default_rng(0)
@@ -53,8 +53,12 @@ text = rng.integers(0, 2545, size=180).astype(np.int32)
 t0 = time.perf_counter()
 mels, wavs, gf = eng.generate_batch([ref], [text], [1023], seeds=[0])
 first_s = time.perf_counter() - t0
+t0 = time.perf_counter()
+eng.generate_batch([ref], [text], [1023], seeds=[1], fetch_mel=False)
+second_s = time.perf_counter() - t0
 print(json.dumps({"load_s": round(load_s, 2), "first_call_s": round(first_s, 2),
-                  "seeded": eng.seeded_cache_entries,
+                  "second_call_s": round(second_s, 2),
+                  "seeded": eng.loaded_executables,
                   "audio_s": round(len(wavs[0]) / model_cfg.mel.target_sample_rate, 2)}))
 """
 
@@ -103,9 +107,10 @@ def main():
 
     # cold process: empty process cache (bundle entries are the only warmth)
     with tempfile.TemporaryDirectory() as empty_cache:
-        env = dict(os.environ, F5TTS_COMPILE_CACHE=os.path.join(empty_cache, "cc"))
+        env = dict(os.environ, F5TTS_COMPILE_CACHE=os.path.join(empty_cache, "cc"),
+                   AB_ROOT=root, AB_OUT=args.out)
         proc = subprocess.run(
-            [sys.executable, "-c", CHILD.format(root=root, out=args.out)],
+            [sys.executable, "-c", CHILD],
             env=env, capture_output=True, text=True, timeout=3600)
     if proc.returncode != 0:
         sys.exit(f"child failed:\n{proc.stdout}\n{proc.stderr}")
@@ -114,7 +119,8 @@ def main():
            "build_s": round(build_s, 1) if build_s else None,
            "warm_s": round(warm_s, 1) if warm_s else None,
            "cold_load_s": child["load_s"], "cold_first_call_s": child["first_call_s"],
-           "seeded_entries": child["seeded"], "audio_s": child["audio_s"]}
+           "cold_second_call_s": child["second_call_s"],
+           "loaded_executables": child["seeded"], "audio_s": child["audio_s"]}
     print(json.dumps(rep))
 
 

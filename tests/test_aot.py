@@ -123,42 +123,28 @@ def test_aot_options_come_from_meta(built):
     assert aot.options == eng.options  # nfe etc. restored from engine_meta.json
 
 
-def test_warm_artifacts_load_without_compile(built, tmp_path):
-    """warm_artifacts packages XLA persistent-cache entries with the bundle;
-    a cold process's AotEngine seeds its cache from the package and every
-    artifact dispatch is a cache HIT (no new jit_call entries written) — the
-    TRT engine-file 'deserialize and serve in seconds' property
-    (reference runtime/triton_trtllm/run.sh:18-112)."""
-    import os
-
+def test_warm_artifacts_load_without_compile(built):
+    """warm_artifacts packages serialized PJRT executables with the bundle;
+    AotEngine deserializes them directly (loaded_executables counts them) and
+    serves outputs matching the live engine — no XLA compile at load, the TRT
+    engine-file 'deserialize and serve in seconds' property (reference
+    runtime/triton_trtllm/run.sh:18-112).  Cross-process portability is what
+    packaged persistent-cache entries LACKED (the cache key hashes
+    process-specific fingerprints; a warmed bundle still paid a 246 s first
+    call on-chip) — scripts/aot_coldstart_ab.py measures the subprocess loop
+    on real hardware."""
     from f5_tts_tpu.runtime.aot import warm_artifacts
 
     cfg, params, voc, eng, out, names = built
-    saved = (
-        jax.config.jax_compilation_cache_dir,
-        jax.config.jax_persistent_cache_min_compile_time_secs,
-        jax.config.jax_persistent_cache_min_entry_size_bytes,
-    )
-    try:
-        n = warm_artifacts(out)
-        assert n >= len(names)  # one executable per artifact
+    n = warm_artifacts(out)
+    assert n == len(names)  # one executable per artifact
 
-        # cold-process simulation: fresh, empty persistent cache
-        fresh = str(tmp_path / "proc_cache")
-        jax.config.update("jax_compilation_cache_dir", fresh)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        aot = AotEngine(out, params, cfg, vocoder_params=voc, buckets=(256, 512))
-        assert aot.seeded_cache_entries == n
-        packaged = {f for f in os.listdir(fresh) if f.startswith("jit_call")}
-        assert len(packaged) == n
+    aot = AotEngine(out, params, cfg, vocoder_params=voc, buckets=(256, 512))
+    assert aot.loaded_executables == n
 
-        refs, texts, durs = _mel_inputs(cfg)
-        aot.generate_batch(refs, texts, durs, seeds=[3, 4])
-        after = {f for f in os.listdir(fresh) if f.startswith("jit_call")}
-        # a miss would WRITE a new jit_call entry; hit leaves the set as-is
-        assert after == packaged
-    finally:
-        jax.config.update("jax_compilation_cache_dir", saved[0])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", saved[1])
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", saved[2])
+    refs, texts, durs = _mel_inputs(cfg)
+    want = eng.generate_batch(refs, texts, durs, seeds=[3, 4])
+    got = aot.generate_batch(refs, texts, durs, seeds=[3, 4])
+    np.testing.assert_allclose(got[0], want[0], atol=1e-5)
+    for a, b_ in zip(got[1], want[1]):
+        np.testing.assert_allclose(a, b_, atol=1e-5)
