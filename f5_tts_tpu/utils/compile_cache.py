@@ -33,7 +33,8 @@ def _repo_root() -> str | None:
 
 
 def default_cache_dir() -> str:
-    env = os.environ.get("F5TTS_COMPILE_CACHE")
+    env = os.environ.get("F5TTS_COMPILE_CACHE") or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR")  # docker-compose mounts a volume here
     if env:
         return env
     root = _repo_root()

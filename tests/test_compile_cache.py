@@ -15,8 +15,17 @@ def test_default_prefers_env_override(monkeypatch, tmp_path):
     assert cc.default_cache_dir() == str(tmp_path / "vol")
 
 
+def test_default_honors_jax_env(monkeypatch, tmp_path):
+    """docker-compose mounts a volume at JAX_COMPILATION_CACHE_DIR; the
+    helper must not shadow it with the repo-local default."""
+    monkeypatch.delenv("F5TTS_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "jvol"))
+    assert cc.default_cache_dir() == str(tmp_path / "jvol")
+
+
 def test_default_is_repo_local_in_checkout(monkeypatch):
     monkeypatch.delenv("F5TTS_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     d = cc.default_cache_dir()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     assert d == os.path.join(root, ".cache", "jax_comp")
