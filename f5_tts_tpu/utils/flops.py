@@ -13,7 +13,10 @@ scripts/count_params_gflops.py and all README numbers):
   because MFU measures useful math, not executed math);
 - classifier-free-guidance inference evaluates the backbone on 2 fused rows
   per sample per NFE step and IS counted as executed (2x fwd per step),
-  because both evaluations are required by the algorithm, unlike remat.
+  because both evaluations are required by the algorithm, unlike remat;
+- conversely, work the fused sampler hoists OUT of the NFE loop (the
+  text-embedding ConvNeXt stack — computed once per call, not per step) is
+  counted once, so inference MFU reflects FLOPs actually executed.
 
 The reference's ``count_params_gflops.py`` (src/f5_tts/scripts/
 count_params_gflops.py:21-26) reports thop-convention numbers instead:
@@ -29,13 +32,21 @@ from __future__ import annotations
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
+def dit_text_embed_flops(cfg, n: int) -> float:
+    """The text-embedding ConvNeXt stack at seq len ``n`` — depends only on
+    the text, so the fused sampler hoists it OUT of the NFE loop
+    (models/cfm.py computes te_cond/te_uncond once before the scan)."""
+    td = cfg.text_dim
+    fl = 0.0
+    for _ in range(cfg.conv_layers):
+        fl += n * (7 * td + 2 * 2 * td * td * cfg.conv_mult)
+    return fl
+
+
 def dit_forward_flops(cfg, n: int) -> float:
     """One DiT forward pass at mel seq len ``n`` (text padded to n frames)."""
     d, td = cfg.dim, cfg.text_dim
-    fl = 0.0
-    # text embed convnext blocks at seq n
-    for _ in range(cfg.conv_layers):
-        fl += n * (7 * td + 2 * 2 * td * td * cfg.conv_mult)
+    fl = dit_text_embed_flops(cfg, n)
     # input embed proj + conv position embedding (k=31, groups=16, twice)
     fl += n * 2 * (2 * cfg.mel_dim + td) * d
     fl += 2 * n * (31 * d / 16 * d) * 2
@@ -118,6 +129,11 @@ def sampling_flops(model_cfg, nfe: int, n_frames: int, batch: int = 1,
     fused-CFG (2 backbone rows per sample per step) + vocoder decode."""
     rows = 2 if cfg_fused else 1
     fl = nfe * rows * batch * backbone_forward_flops(model_cfg.arch, n_frames)
+    if getattr(model_cfg.arch, "backbone", "DiT") == "DiT":
+        # the fused sampler computes the text-embedding ConvNeXt stack ONCE
+        # per call (cond + uncond rows), not per NFE step — counting it
+        # per-step would inflate executed FLOPs (and MFU) by ~3%
+        fl -= (nfe - 1) * rows * batch * dit_text_embed_flops(model_cfg.arch, n_frames)
     if vocoder == "vocos":
         fl += batch * vocos_forward_flops(n_frames)
     return fl
