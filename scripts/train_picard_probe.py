@@ -99,6 +99,10 @@ def main():
                     help="tol for the engine wall-clock A/B (cached graph)")
     ap.add_argument("--skip-train", default=None,
                     help="path to previously saved params (skips training)")
+    ap.add_argument("--init-params", default=None,
+                    help="path to previously saved params to CONTINUE training "
+                    "from (fresh optimizer/LR schedule) — probe-scale curriculum "
+                    "without re-paying earlier updates")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true", help="tiny arch smoke (CPU CI)")
     ap.add_argument("--dim", type=int, default=0,
@@ -108,6 +112,17 @@ def main():
                     "updates descends the loss but stays illegible)")
     ap.add_argument("--depth", type=int, default=0)
     ap.add_argument("--heads", type=int, default=0)
+    ap.add_argument("--avg-upsample", action="store_true", dest="avg_upsample",
+                    help="use text_embedding_average_upsampling (the v2/"
+                    "ZipVoice text layout): char k's embedding spreads over "
+                    "its OWN frames instead of sitting at frame k, making "
+                    "the text->tone map local. The reference v1 layout needs "
+                    "long-range attention alignment, which famously emerges "
+                    "only after very long training — at probe scale its tone "
+                    "accuracy stays at chance (~0.1) even with a cleanly "
+                    "descending loss, while this mode becomes legible in a "
+                    "few hundred updates, completing the end-to-end "
+                    "train->sample->eval evidence on a real learned model")
     args = ap.parse_args()
 
     import jax
@@ -144,6 +159,10 @@ def main():
             model_cfg, arch=dataclasses.replace(
                 model_cfg.arch, dim=args.dim, depth=args.depth or 8, heads=heads,
                 dim_head=args.dim // heads))
+    if args.avg_upsample:
+        model_cfg = dataclasses.replace(
+            model_cfg, arch=dataclasses.replace(
+                model_cfg.arch, text_embedding_average_upsampling=True))
     arch_remat = dataclasses.replace(model_cfg.arch, checkpoint_activations=True)
 
     rng = np.random.default_rng(0)
@@ -174,7 +193,14 @@ def main():
         )
         tr.save_checkpoint = lambda *a, **k: None
         t0 = time.perf_counter()
-        params0 = dit.init(jax.random.PRNGKey(0), train_cfg.arch)
+        if args.init_params:
+            blob = np.load(args.init_params, allow_pickle=True)
+            tree_def = blob["__tree__"].item()
+            leaves = [blob[f"leaf_{i}"] for i in range(len(blob.files) - 1)]
+            params0 = jax.tree.unflatten(tree_def, leaves)
+            print(f"continuing from {args.init_params}", file=sys.stderr)
+        else:
+            params0 = dit.init(jax.random.PRNGKey(0), train_cfg.arch)
         # generate from the final ONLINE params: at probe-scale update counts
         # the production EMA (decay .9999, every 10 steps after 100) is still
         # ~98% of the barely-trained step-110 snapshot — measured 0.09 tone
@@ -222,15 +248,23 @@ def main():
     fb = mel_ops._fbank_for(mel_cfg)  # noqa: SLF001 — [n_freqs, n_mels]
     fft_freqs = np.linspace(0, mel_cfg.target_sample_rate / 2, mel_cfg.n_fft // 2 + 1)
     freqs = fft_freqs[np.argmax(fb, axis=0)]
-    hits = 0
-    for k, ch in enumerate(gen_text):
+    decoded = []
+    for k in range(len(gen_text)):
         lo = int(k * frames_per_char)
         hi = int((k + 1) * frames_per_char)
         seg = gen_mel[lo + 2:hi - 2]
-        if len(seg) and dominant_tone(seg, freqs) == TONES.index(ch):
-            hits += 1
+        decoded.append(TONES[dominant_tone(seg, freqs)] if len(seg) else "?")
+    hits = sum(d == ch for d, ch in zip(decoded, gen_text))
     tone_acc = hits / len(gen_text)
-    print(f"tone_accuracy (held-out text, NFE {args.nfe}): {tone_acc:.2f}", file=sys.stderr)
+    # character error rate through the eval subsystem's native edit-distance
+    # core (eval/metrics.py) — the same WER path the reference's utils_eval
+    # uses, fed by the tone decoder instead of an external ASR model
+    from f5_tts_tpu.eval.metrics import word_error_rate
+
+    tone_cer = word_error_rate(gen_text, "".join(decoded), lang="zh")
+    print(f"tone_accuracy (held-out text, NFE {args.nfe}): {tone_acc:.2f}; "
+          f"decoded '{''.join(decoded)}' vs '{gen_text}' -> CER {tone_cer:.2f}",
+          file=sys.stderr)
 
     # ---- A/B: sequential vs picard over a tol sweep
     seq_mel = mels[0]
@@ -302,6 +336,7 @@ def main():
     print(json.dumps({
         "metric": "picard_trained_probe",
         "tone_accuracy": round(tone_acc, 3),
+        "tone_cer": round(tone_cer, 3),
         "window": args.window,
         "best_sweeps": min(r["sweeps"] for r in reports),
         "sequential_worst_case": args.nfe,
