@@ -111,76 +111,97 @@ def main():
           file=sys.stderr)
 
     # 26-prompt mixed-duration serving latency at batch 1 (the verdict-#1
-    # operating point; reference client_grpc.py latency percentile report)
-    from f5_tts_tpu.infer.serve import BatchServer, Request, rtf_report
+    # operating point; reference client_grpc.py latency percentile report).
+    # Secondary sections are guarded: a failure here must not cost the driver
+    # the primary RTF json line.
+    import traceback
 
-    n_prompts = 26 if on_tpu else 4
-    prng = np.random.default_rng(0)
-    reqs = []
-    for i in range(n_prompts):
-        ref = prng.standard_normal((int(prng.integers(200, 300)), model_cfg.mel.n_mel_channels)).astype(np.float32)
-        text = prng.integers(0, 2545, size=int(prng.integers(80, 200))).astype(np.int32)
-        dur = int(prng.integers(500, 1020)) if on_tpu else int(prng.integers(150, 250))
-        reqs.append(Request(ref_mel=ref, text_ids=text, duration=dur, seed=i))
-    srv = BatchServer(engine, mesh=None, batch_size=1)
-    srv.run(reqs, overlap=1)  # warm every (bucket, crop) this set hits
-    t0 = time.perf_counter()
-    wavs, lats = srv.run(reqs, overlap=2)
-    serve_wall = time.perf_counter() - t0
-    rep = rtf_report(wavs, lats, sr)
-    p50_ms, mean_ms = rep["latency_ms_p50"], rep["latency_ms_mean"]
-    serve_rtf = serve_wall / rep["total_audio_s"]
-    print(f"serving {n_prompts}-prompt b1: p50 {p50_ms:.0f} ms, mean {mean_ms:.0f} ms, "
-          f"wall RTF {serve_rtf:.4f}", file=sys.stderr)
+    p50_ms = mean_ms = serve_rtf = None
+    try:
+        from f5_tts_tpu.infer.serve import BatchServer, Request, rtf_report
+
+        n_prompts = 26 if on_tpu else 4
+        prng = np.random.default_rng(0)
+        reqs = []
+        for i in range(n_prompts):
+            ref = prng.standard_normal((int(prng.integers(200, 300)), model_cfg.mel.n_mel_channels)).astype(np.float32)
+            text = prng.integers(0, 2545, size=int(prng.integers(80, 200))).astype(np.int32)
+            dur = int(prng.integers(500, 1020)) if on_tpu else int(prng.integers(150, 250))
+            reqs.append(Request(ref_mel=ref, text_ids=text, duration=dur, seed=i))
+        srv = BatchServer(engine, mesh=None, batch_size=1)
+        srv.run(reqs, overlap=1)  # warm every (bucket, crop) this set hits
+        t0 = time.perf_counter()
+        wavs, lats = srv.run(reqs, overlap=2)
+        serve_wall = time.perf_counter() - t0
+        rep = rtf_report(wavs, lats, sr)
+        p50_ms, mean_ms = rep["latency_ms_p50"], rep["latency_ms_mean"]
+        serve_rtf = serve_wall / rep["total_audio_s"]
+        print(f"serving {n_prompts}-prompt b1: p50 {p50_ms:.0f} ms, mean {mean_ms:.0f} ms, "
+              f"wall RTF {serve_rtf:.4f}", file=sys.stderr)
+    except Exception:
+        traceback.print_exc()
+        print("serving-latency section failed; continuing", file=sys.stderr)
 
     # streaming TTFB through the real chunked pipeline (socket-server path)
-    from f5_tts_tpu.infer import pipeline as P
-    from f5_tts_tpu.text.chunk import chunk_text
-    from f5_tts_tpu.text.tokenizer import get_tokenizer
+    ttfb_ms = None
+    try:
+        from f5_tts_tpu.infer import pipeline as P
+        from f5_tts_tpu.text.chunk import chunk_text
+        from f5_tts_tpu.text.tokenizer import get_tokenizer
 
-    vocab, _ = get_tokenizer(None, model_cfg.tokenizer)
-    t_ax = np.arange(int(3.0 * sr)) / sr
-    ref_wav = (0.1 * np.sin(2 * np.pi * 220.0 * t_ax)).astype(np.float32)
-    ref_text = "Some call me nature, others call me mother nature."
-    gen_text = (
-        "The quick brown fox jumps over the lazy dog while the morning sun "
-        "rises slowly over the quiet valley, and the river keeps rolling "
-        "toward the distant sea as birds begin to sing in the old oak trees."
-    )
-    # first package shrunk for TTFB, like the socket server (socket_server.py:70-73)
-    first = chunk_text(gen_text, max_chars=67)
-    batches = first[:1] + chunk_text(" ".join(first[1:]), max_chars=135)
-
-    def ttfb_once():
-        gen = P.infer_batch_process(
-            engine, (ref_wav, sr), ref_text, batches, vocab,
-            tokenizer=model_cfg.tokenizer, streaming=True, chunk_size=2048,
+        vocab, _ = get_tokenizer(None, model_cfg.tokenizer)
+        t_ax = np.arange(int(3.0 * sr)) / sr
+        ref_wav = (0.1 * np.sin(2 * np.pi * 220.0 * t_ax)).astype(np.float32)
+        ref_text = "Some call me nature, others call me mother nature."
+        gen_text = (
+            "The quick brown fox jumps over the lazy dog while the morning sun "
+            "rises slowly over the quiet valley, and the river keeps rolling "
+            "toward the distant sea as birds begin to sing in the old oak trees."
         )
-        t0 = time.perf_counter()
-        next(iter(gen))
-        dt = time.perf_counter() - t0
-        gen.close()
-        return dt
+        # first package shrunk for TTFB, like the socket server
+        # (socket_server.py generate_stream: hard word-boundary split to
+        # max_chars//4 so a long clause can't promote the first chunk's bucket)
+        first = chunk_text(gen_text, max_chars=135)
+        batches = chunk_text(first[0], max_chars=135 // 4, hard_max=True) + first[1:]
 
-    ttfb_once()  # warm the first-chunk bucket graph
-    ttfb_ms = float(np.median([ttfb_once() for _ in range(3)]) * 1000)
-    print(f"streaming TTFB: {ttfb_ms:.0f} ms", file=sys.stderr)
+        def ttfb_once():
+            gen = P.infer_batch_process(
+                engine, (ref_wav, sr), ref_text, batches, vocab,
+                tokenizer=model_cfg.tokenizer, streaming=True, chunk_size=2048,
+            )
+            t0 = time.perf_counter()
+            next(iter(gen))
+            dt = time.perf_counter() - t0
+            gen.close()
+            return dt
 
-    print(json.dumps({
+        ttfb_once()  # warm the first-chunk bucket graph
+        ttfb_ms = float(np.median([ttfb_once() for _ in range(3)]) * 1000)
+        print(f"streaming TTFB: {ttfb_ms:.0f} ms", file=sys.stderr)
+    except Exception:
+        traceback.print_exc()
+        print("streaming-TTFB section failed; continuing", file=sys.stderr)
+
+    out = {
         "metric": "rtf_nfe16_vocos_conc2",
         "value": round(rtf, 5),
         "unit": "wall_s_per_audio_s",
         "vs_baseline": round(BASELINE_RTF / rtf, 3),
         "serial_rtf": round(serial_rtf, 5),
         "cold_start_s": round(compile_s, 1),
-        "latency_p50_ms": round(p50_ms, 1),
-        "latency_mean_ms": round(mean_ms, 1),
-        "latency_vs_baseline": round(BASELINE_LATENCY_MS / mean_ms, 3),
-        "serving_rtf_b1": round(serve_rtf, 5),
-        "ttfb_ms": round(ttfb_ms, 1),
         "model_tflops_per_s": round(tflops, 1),
         "mfu_pct": round(mfu_pct, 1),
-    }))
+    }
+    if p50_ms is not None:
+        out.update({
+            "latency_p50_ms": round(p50_ms, 1),
+            "latency_mean_ms": round(mean_ms, 1),
+            "latency_vs_baseline": round(BASELINE_LATENCY_MS / mean_ms, 3),
+            "serving_rtf_b1": round(serve_rtf, 5),
+        })
+    if ttfb_ms is not None:
+        out["ttfb_ms"] = round(ttfb_ms, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

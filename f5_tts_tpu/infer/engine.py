@@ -247,6 +247,10 @@ class InferenceEngine:
         # BatchServer (sequence/pipeline parallel); must stay a stable tuple of
         # callables (it keys the jit cache)
         self.parallel_hooks = (None, None)
+        # device-resident ref-upload cache (see _ref_wav_device)
+        from collections import OrderedDict
+
+        self._ref_dev_cache: "OrderedDict[tuple, jax.Array]" = OrderedDict()
 
     def enable_time_parallel(self, mesh) -> None:
         """Low-latency multi-chip mode: with ``EngineOptions(
@@ -268,6 +272,29 @@ class InferenceEngine:
     def _call_sample_and_decode_from_wav(self, *args, **kw):
         return _sample_and_decode_from_wav(*args, **kw)
 
+
+    def _ref_wav_device(self, wav_i16: np.ndarray, b: int, S: int):
+        """Device-resident LRU for the (broadcast) int16 ref upload.
+
+        Streaming synthesizes chunk-by-chunk and the socket server reuses one
+        reference across many requests, so the identical ~250 KB ref wav would
+        otherwise re-cross the host->device link on EVERY chunk — a measurable
+        slice of TTFB on slow links (DEVELOPMENT.md: ~10 MB/s axon tunnel).
+        Keyed by exact bytes; skipped under mesh-serving hooks where input
+        placement is the server's job."""
+        def upload():
+            return jnp.asarray(np.ascontiguousarray(np.broadcast_to(wav_i16, (b, S))))
+
+        if self.parallel_hooks != (None, None):
+            return upload()
+        key = (wav_i16.tobytes(), b, S)
+        dev = self._ref_dev_cache.pop(key, None)
+        if dev is None:
+            dev = upload()
+        self._ref_dev_cache[key] = dev
+        while len(self._ref_dev_cache) > 8:
+            self._ref_dev_cache.popitem(last=False)
+        return dev
 
     def _trim_wavs(self, wav, duration, lens):
         """Dequantize the int16 device waveform and trim each row to its
@@ -384,7 +411,7 @@ class InferenceEngine:
         peak = max(float(np.abs(padded).max()), 1e-6)
         scale = max(peak, 1.0)  # peak-normalize only if it would clip
         wav_i16 = np.round(padded / scale * 32767.0).astype(np.int16)
-        wavs_in = np.broadcast_to(wav_i16, (b, S))
+        wavs_in = self._ref_wav_device(wav_i16, b, S)
         wav_scale = np.full((b,), scale, np.float32)
         lens = np.full((b,), min(ref_frames, n), np.int32)
         text_ids = np.full((b, n), -1, np.int32)

@@ -67,10 +67,15 @@ class TTSStreamingProcessor:
 
     def generate_stream(self, text: str):
         """Yields float32 np chunks."""
-        # shrink the first package for TTFB (reference :138-143)
+        # shrink the first package for TTFB (reference socket_server.py:139-142
+        # re-chunks the head at max/2 then max/4; hard_max additionally splits
+        # at word boundaries so one long clause can't hold the first chunk at
+        # a big duration bucket — the dominant TTFB term is first-chunk compute)
         max_chars = 135
-        first_gen = chunk_text(text, max_chars=max_chars // 2)
-        batches = first_gen[:1] + chunk_text(" ".join(first_gen[1:]), max_chars=max_chars) if len(first_gen) > 1 else first_gen
+        batches = chunk_text(text, max_chars=max_chars)
+        if batches:
+            head = chunk_text(batches[0], max_chars=max_chars // 4, hard_max=True)
+            batches = head + batches[1:]
         gen = P.infer_batch_process(
             self.tts.engine, self.ref, self.ref_text, batches, self.tts.vocab,
             tokenizer=self.tts.tokenizer, opts=P.PipelineOptions(),

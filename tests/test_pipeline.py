@@ -48,6 +48,60 @@ def test_chunk_text_respects_byte_budget():
     assert "".join(chunks).replace(" ", "") == text.replace(" ", "")
 
 
+def test_chunk_text_hard_max_bounds_every_chunk():
+    # one 101-byte clause: the punctuation splitter must keep it whole by
+    # default (reference utils_infer.py:73-102 behavior)...
+    clause = ("The quick brown fox jumps over the lazy dog while the morning "
+              "sun rises slowly over the quiet valley,")
+    text = clause + " and the river keeps rolling toward the distant sea."
+    soft = chunk_text(text, max_chars=34)
+    assert len(soft[0].encode("utf-8")) > 34
+    # ...and hard_max must word-boundary split it under the bound
+    hard = chunk_text(text, max_chars=34, hard_max=True)
+    assert all(len(c.encode("utf-8")) <= 34 for c in hard)
+    assert "".join(hard).replace(" ", "") == text.replace(" ", "")
+    # no mid-word cuts: every piece ends at a word boundary
+    for c in hard:
+        assert not c.endswith("-") and c == c.strip()
+    # CJK run with no spaces: falls back to codepoint-boundary split,
+    # never cutting inside a utf-8 sequence
+    zh = "今天天气真好我们一起去公园散步吧然后再去吃饭"
+    hard_zh = chunk_text(zh, max_chars=9, hard_max=True)
+    assert all(len(c.encode("utf-8")) <= 9 for c in hard_zh)
+    assert "".join(hard_zh) == zh
+
+
+def test_engine_ref_upload_device_cache():
+    """Streaming chunks share one ref wav; the int16 upload must be
+    device-cached (keyed by exact bytes) instead of re-crossing the host link
+    per chunk (TTFB: DEVELOPMENT.md axon-tunnel budget)."""
+    cfg, params, voc, voc_cfg = tiny_model()
+    eng = InferenceEngine(params, cfg, vocoder_params=voc, vocoder_cfg=voc_cfg,
+                          options=EngineOptions(nfe_step=2))
+    sr = 24000
+    wav = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+    txt = np.arange(8, dtype=np.int32)
+    _, wavs_a, _ = eng.generate_batch_from_wav(wav, [txt], [220], seeds=[3])
+    assert len(eng._ref_dev_cache) == 1
+    cached = next(iter(eng._ref_dev_cache.values()))
+    _, wavs_b, _ = eng.generate_batch_from_wav(wav, [txt], [220], seeds=[3])
+    assert next(iter(eng._ref_dev_cache.values())) is cached  # reused, no re-upload
+    np.testing.assert_array_equal(wavs_a[0], wavs_b[0])
+    # a different ref must key a DIFFERENT entry holding different bytes
+    # (output-sensitivity can't be asserted here: fresh-init AdaLN gates are
+    # zero, making generations ref-independent — DEVELOPMENT.md gotcha)
+    wav2 = (0.2 * np.sin(2 * np.pi * 330 * np.arange(sr) / sr)).astype(np.float32)
+    eng.generate_batch_from_wav(wav2, [txt], [220], seeds=[3])
+    assert len(eng._ref_dev_cache) == 2
+    e1, e2 = eng._ref_dev_cache.values()
+    assert not np.array_equal(np.asarray(e1), np.asarray(e2))
+    # parity: cached-upload result == fresh-engine result
+    eng2 = InferenceEngine(params, cfg, vocoder_params=voc, vocoder_cfg=voc_cfg,
+                           options=EngineOptions(nfe_step=2))
+    _, wavs_f, _ = eng2.generate_batch_from_wav(wav, [txt], [220], seeds=[3])
+    np.testing.assert_array_equal(wavs_a[0], wavs_f[0])
+
+
 def test_estimate_durations_matches_reference_formula():
     # ref: 500 frames, 20-byte text; gen 40 bytes, speed 1 -> 500 + 500/20*40
     d = estimate_durations(500, "a" * 20, ["b" * 40], 1.0, None, 24000, 256)
