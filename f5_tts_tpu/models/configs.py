@@ -36,8 +36,10 @@ class DiTConfig:
     checkpoint_activations: bool = False
     # rematerialization policy under checkpoint_activations:
     # "nothing" recomputes everything in backward (min memory);
-    # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable) —
-    # trades HBM for recompute FLOPs, A/B per chip with scripts/bench_train.py
+    # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable);
+    # "flash" saves only the flash-attention out/lse so backward recompute
+    # skips the Pallas forward kernel (smallest memory add per saved FLOP);
+    # "dots_flash" composes both — A/B per chip with scripts/bench_train.py
     remat_policy: str = "nothing"
     backbone: str = "DiT"
     # rope/abs-pos table horizon: 8192 frames ~ 87s @ 24kHz hop 256 (dit.py:47)
@@ -63,6 +65,7 @@ class UNetTConfig:
     pe_attn_head: int | None = None
     skip_connect_type: str = "concat"
     checkpoint_activations: bool = False
+    remat_policy: str = "nothing"  # see DiTConfig.remat_policy
     backbone: str = "UNetT"
     max_pos: int = 4096
 
@@ -81,6 +84,7 @@ class MMDiTConfig:
     text_mask_padding: bool = True
     qk_norm: str | None = None
     checkpoint_activations: bool = False
+    remat_policy: str = "nothing"  # see DiTConfig.remat_policy
     backbone: str = "MMDiT"
     max_pos: int = 4096
     text_max_pos: int = 1024

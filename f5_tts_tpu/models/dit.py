@@ -58,9 +58,25 @@ def init(key: jax.Array, cfg: DiTConfig):
 
 
 def remat_policy(cfg):
-    """jax.checkpoint policy from cfg.remat_policy (None = save nothing)."""
-    if getattr(cfg, "remat_policy", "nothing") == "dots":
+    """jax.checkpoint policy from cfg.remat_policy (None = save nothing).
+
+    "flash" saves only the flash-attention kernel outputs (tagged
+    ``flash_out``/``flash_lse`` in ops/flash_attention.py) so the backward
+    recompute never re-runs the Pallas forward — the cheapest memory/FLOP
+    trade at F5 shapes (~out+lse per block vs "dots" saving every matmul).
+    "dots_flash" composes both."""
+    pol = getattr(cfg, "remat_policy", "nothing")
+    if pol == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if pol == "flash":
+        return jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+    if pol == "dots_flash":
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse"),
+        )
+    if pol != "nothing":
+        raise ValueError(f"unknown remat_policy {pol!r} (nothing|dots|flash|dots_flash)")
     return None
 
 

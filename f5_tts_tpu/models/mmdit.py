@@ -221,9 +221,19 @@ def forward(
                         False, attn_mask_enabled, backend)
         return (xx, cc), None
 
+    def last_fn(hh, cc):
+        return _block(params["last_block"], hh, cc, t_emb, cfg, rope_a, rope_t,
+                      mask, c_mask, True, attn_mask_enabled, backend)
+
+    if cfg.checkpoint_activations:  # per-block remat (reference mmdit.py:252-255;
+        # policy semantics match models/dit.py remat_policy)
+        from f5_tts_tpu.models.dit import remat_policy
+
+        body = jax.checkpoint(body, policy=remat_policy(cfg))
+        last_fn = jax.checkpoint(last_fn, policy=remat_policy(cfg))
+
     (h, c), _ = jax.lax.scan(body, (h, c), params["blocks"])
-    h, _ = _block(params["last_block"], h, c, t_emb, cfg, rope_a, rope_t, mask, c_mask,
-                  True, attn_mask_enabled, backend)
+    h, _ = last_fn(h, c)
     h = L.adaln_final(params["norm_out"], h, t_emb)
     return L.linear(params["proj_out"], h)
 

@@ -140,7 +140,11 @@ def forward(
     # pad to a 256-multiple so the Pallas flash kernel stays eligible (the
     # time token makes the sequence n+1); padding rows are masked out
     seq = n + 1
-    pad_to = -(-seq // 256) * 256 if backend in ("auto", "flash") and seq > 256 else seq
+    pad_to = (
+        -(-seq // 256) * 256
+        if backend in ("auto", "flash", "train_auto", "flash_train") and seq > 256
+        else seq
+    )
     pad_amt = pad_to - seq
     if pad_amt:
         h = jnp.pad(h, ((0, 0), (0, pad_amt), (0, 0)))
@@ -156,8 +160,6 @@ def forward(
         out = _block(bp, carry, mask, rope, cfg, backend)
         return out, carry  # push PRE-block x: reference appends before the block
 
-    h, skips = jax.lax.scan(first_fn, h, params["first"])
-
     def second_fn(carry, inp):
         bp, skip = inp
         if cfg.skip_connect_type == "concat":
@@ -166,6 +168,16 @@ def forward(
             carry = carry + skip
         out = _block(bp, carry, mask, rope, cfg, backend)
         return out, None
+
+    if cfg.checkpoint_activations:  # per-block remat (beyond reference: its
+        # UNetT has no activation-checkpoint path at all; policy semantics
+        # match models/dit.py remat_policy)
+        from f5_tts_tpu.models.dit import remat_policy
+
+        first_fn = jax.checkpoint(first_fn, policy=remat_policy(cfg))
+        second_fn = jax.checkpoint(second_fn, policy=remat_policy(cfg))
+
+    h, skips = jax.lax.scan(first_fn, h, params["first"])
 
     # pops are LIFO: reverse the collected skips
     h, _ = jax.lax.scan(second_fn, h, (params["second"], jnp.flip(skips, axis=0)))

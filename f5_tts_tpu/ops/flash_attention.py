@@ -317,8 +317,22 @@ def _flash_diff(q, k, v, lens, block_q, block_k, seg):
     return _flash_seg(q, k, v, lens, seg, block_q, block_k)
 
 
+def _tag_for_remat(out, L):
+    """Name the forward kernel's outputs for ``jax.checkpoint`` policies.
+
+    Under ``remat_policy="flash"`` (models/dit.py) these become the ONLY saved
+    per-block residuals, so the backward-pass recompute skips this Pallas
+    forward entirely: the backward kernel needs just (q, k, v, out, lse), and
+    q/k/v re-derive from the block input via cheap matmuls.  Outside a
+    ``jax.checkpoint`` region the tags are identity ops."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(out, "flash_out"), checkpoint_name(L, "flash_lse")
+
+
 def _flash_diff_fwd(q, k, v, lens, block_q, block_k, seg):
     out, L = _flash_fwd_stats(q, k, v, lens, block_q, block_k, seg)
+    out, L = _tag_for_remat(out, L)
     return out, (q, k, v, lens, out, L)
 
 
@@ -352,6 +366,7 @@ def _flash_stats_diff(q, k, v, lens, block_q, block_k):
 
 def _flash_stats_diff_fwd(q, k, v, lens, block_q, block_k):
     out, L = _flash_fwd_stats(q, k, v, lens, block_q, block_k)
+    out, L = _tag_for_remat(out, L)
     return (out, L), (q, k, v, lens, out, L)
 
 

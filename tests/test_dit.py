@@ -132,3 +132,42 @@ def test_dit_average_upsampling_matches_reference_algorithm():
         want_i = np.zeros_like(pre[i])
         want_i[:audio_len] = valid[np.array(idx[:audio_len])]
         np.testing.assert_allclose(got[i], want_i, atol=1e-5)
+
+
+def test_remat_policy_flash_skips_forward_recompute():
+    """remat_policy="flash" (D.remat_policy) saves the flash kernel's tagged
+    out/lse residuals (ops/flash_attention.py _tag_for_remat), so the
+    checkpointed block's BACKWARD recompute must not re-run the Pallas
+    forward.  Structural check on the grad jaxpr (trace-only — kernels never
+    execute, so this runs on CPU): "nothing" re-runs the fwd-stats kernel
+    inside the remat region; "flash" keeps exactly one fewer.  Gradient
+    numerics across policies are chip-validated (remat never changes math;
+    DEVELOPMENT.md bench_train A/B)."""
+    import re
+
+    arch = DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2,
+                     mel_dim=16, text_num_embeds=30, text_dim=32,
+                     conv_layers=1, max_pos=512, checkpoint_activations=True)
+    params = D.init(jax.random.PRNGKey(0), arch)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 256, 16)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((2, 256, 16)).astype(np.float32))
+    tid = jnp.asarray(rng.integers(0, 30, (2, 32)).astype(np.int32))
+
+    def loss(p, cfg):
+        out = D.forward_with_text(p, cfg, x, cond, tid, jnp.float32(0.5),
+                                  backend="flash_train")
+        return jnp.sum(out**2)
+
+    def fwd_kernel_count(cfg):
+        txt = str(jax.make_jaxpr(lambda p: jax.grad(loss)(p, cfg))(params))
+        return len(re.findall(r"name=_flash_fwd_stats\b", txt))
+
+    n_nothing = fwd_kernel_count(dataclasses.replace(arch, remat_policy="nothing"))
+    n_flash = fwd_kernel_count(dataclasses.replace(arch, remat_policy="flash"))
+    assert n_flash == n_nothing - 1, (n_nothing, n_flash)
+
+
+def test_remat_policy_unknown_raises():
+    with pytest.raises(ValueError, match="remat_policy"):
+        D.remat_policy(dataclasses.replace(DiTConfig(), remat_policy="typo"))

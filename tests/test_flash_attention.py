@@ -370,3 +370,4 @@ def test_stats_requires_equal_qk_lengths():
     k = v = jnp.zeros((1, 2, 512, 64), jnp.float32)
     with pytest.raises(ValueError, match="len\\(q\\)==len\\(k\\)"):
         flash_attention_with_stats(q, k, v, jnp.array([256], jnp.int32))
+

@@ -219,3 +219,35 @@ def test_mmdit_ckpt_converter_roundtrip():
     a = M.forward_with_text(params, cfg, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text), jnp.asarray(time))
     c = M.forward_with_text(back, cfg, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(text), jnp.asarray(time))
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_mmdit_checkpoint_activations_grads_match():
+    """checkpoint_activations wraps the MMDiT block scan + final block in
+    jax.checkpoint (reference mmdit.py:252-255 honors the flag; this repo
+    silently ignored it before).  Grads must match the non-checkpointed
+    forward exactly."""
+    import dataclasses
+
+    cfg = SMALL
+    cfg_ck = dataclasses.replace(SMALL, checkpoint_activations=True)
+    params = randomize_adaln(M.init(jax.random.PRNGKey(3), cfg), cfg)
+    b, n, nt = 2, 24, 9
+    x = RNG.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    cond = RNG.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    text = RNG.integers(0, cfg.text_num_embeds, (b, nt)).astype(np.int32)
+    time = np.array([0.4, 0.6], np.float32)
+    mask = np.ones((b, n), bool)
+    mask[1, 17:] = False
+
+    def loss(p, c):
+        out = M.forward_with_text(p, c, jnp.asarray(x), jnp.asarray(cond),
+                                  jnp.asarray(text), jnp.asarray(time),
+                                  mask=jnp.asarray(mask))
+        return jnp.sum(out**2)
+
+    g0 = jax.grad(loss)(params, cfg)
+    g1 = jax.grad(loss)(params, cfg_ck)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5)
+    txt = str(jax.make_jaxpr(lambda p: jax.grad(loss)(p, cfg_ck))(params))
+    assert "remat" in txt or "checkpoint" in txt

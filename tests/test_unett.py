@@ -243,3 +243,29 @@ def test_flash_padding_beyond_max_pos():
     assert out.shape == (2, n, cfg.mel_dim)
     mm = mask[:, :, None]
     np.testing.assert_allclose(out * mm, ref * mm, atol=1e-5, rtol=1e-5)
+
+
+def test_unett_checkpoint_activations_grads_match():
+    """checkpoint_activations was a silent no-op for UNetT (the reference has
+    no UNetT remat path at all); it now wraps both scan halves in
+    jax.checkpoint.  Remat must not change math: grads match the
+    non-checkpointed forward, and the grad jaxpr actually contains remat."""
+    import dataclasses
+
+    cfg = SMALL
+    cfg_ck = dataclasses.replace(SMALL, checkpoint_activations=True)
+    params = U.init(jax.random.PRNGKey(2), cfg)
+    x, cond, text, time, mask = _inputs(cfg)
+
+    def loss(p, c):
+        out = U.forward_with_text(p, c, jnp.asarray(x), jnp.asarray(cond),
+                                  jnp.asarray(text), jnp.asarray(time),
+                                  mask=jnp.asarray(mask), backend="sdpa")
+        return jnp.sum(out**2)
+
+    g0 = jax.grad(loss)(params, cfg)
+    g1 = jax.grad(loss)(params, cfg_ck)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    txt = str(jax.make_jaxpr(lambda p: jax.grad(loss)(p, cfg_ck))(params))
+    assert "remat" in txt or "checkpoint" in txt
