@@ -210,3 +210,20 @@ def test_mixed_format_batch_load(tmp_path, wav_files):
     got = out[-2, :lens[-2]]
     m = min(len(got), len(ref24))
     assert np.abs(got[200:m - 200] - ref24[200:m - 200]).mean() < 5e-3
+
+
+def test_decoder_fuzz_no_crash():
+    """Corrupt bytes (truncation / bit flips / bursts / garbage) must be
+    rejected or decoded to finite samples — never crash the decoder.  The
+    harness runs in a CHILD process so a segfault fails this test instead of
+    killing pytest (tests/fuzz_native_decoders.py; the loader ingests the
+    training corpus unsupervised)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "fuzz_native_decoders.py")
+    r = subprocess.run([sys.executable, script, "0", "80"],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"fuzz child died rc={r.returncode}\n{r.stdout}\n{r.stderr}"
+    assert "PASS" in r.stdout or "SKIP" in r.stdout, r.stdout
