@@ -17,6 +17,8 @@
 //                        float* out, long stride, long* lens, int n_threads);
 //       -> 0 ok; out is [n, stride]; lens[i] = samples (clipped to stride)
 
+#include <sys/stat.h>
+
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -186,16 +188,46 @@ std::vector<float> resample(const std::vector<float>& x, int up, int down) {
 
 // Per-thread single-entry decode cache: the Python binding probes the length
 // first, then reads — for compressed formats that would decode twice.
+// Keyed on (path, size, mtime) so a file overwritten between calls is
+// re-decoded instead of served stale (advisor round-4 finding: a path-only
+// key silently returned the previous decode for rewritten files, which also
+// made path-reusing fuzz loops vacuous).
 thread_local std::string g_cache_path;
+thread_local long long g_cache_size = -1;
+thread_local long long g_cache_mtime_ns = -1;
 thread_local WavData g_cache;
 
+bool stat_key(const char* path, long long& size, long long& mtime_ns) {
+  struct stat st;
+  if (stat(path, &st) != 0) return false;
+  size = static_cast<long long>(st.st_size);
+#if defined(__APPLE__)
+  mtime_ns = static_cast<long long>(st.st_mtimespec.tv_sec) * 1000000000LL +
+             st.st_mtimespec.tv_nsec;
+#else
+  mtime_ns = static_cast<long long>(st.st_mtim.tv_sec) * 1000000000LL +
+             st.st_mtim.tv_nsec;
+#endif
+  return true;
+}
+
 bool read_audio_cached(const char* path, WavData& out) {
-  if (g_cache_path == path && !g_cache.samples.empty()) {
+  long long size = -1, mtime_ns = -1;
+  const bool have_key = stat_key(path, size, mtime_ns);
+  if (have_key && g_cache_path == path && g_cache_size == size &&
+      g_cache_mtime_ns == mtime_ns && !g_cache.samples.empty()) {
     out = g_cache;
     return true;
   }
-  if (!read_audio(path, out)) return false;
+  if (!read_audio(path, out)) {
+    g_cache_path.clear();
+    g_cache_size = -1;
+    g_cache_mtime_ns = -1;
+    return false;
+  }
   g_cache_path = path;
+  g_cache_size = size;
+  g_cache_mtime_ns = mtime_ns;
   g_cache = out;
   return true;
 }

@@ -29,17 +29,18 @@ from f5_tts_tpu.audio import native_loader
 from f5_tts_tpu.audio.io import save_wav
 
 
-def build_seeds(rng) -> dict[str, bytes]:
+def build_seeds(rng, tmp: str) -> dict[str, bytes]:
     from tests.oracles import codec_oracle
     from tests.oracles.flac_encoder import encode_flac
 
     t = np.arange(int(24000 * 0.8)) / 24000.0
     sig = (0.4 * np.sin(2 * np.pi * 313 * t)
            + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
-    tmp = tempfile.mkdtemp()
     wav_p = os.path.join(tmp, "s.wav")
     save_wav(wav_p, sig, 24000)
-    seeds = {"wav": open(wav_p, "rb").read(),
+    with open(wav_p, "rb") as f:
+        wav_bytes = f.read()
+    seeds = {"wav": wav_bytes,
              "flac": encode_flac((sig * 32767).astype(np.int16)[:, None], 24000)}
     if codec_oracle.available():
         seeds["mp3"] = codec_oracle.lame_encode_mp3(sig, 24000)
@@ -53,45 +54,53 @@ def main() -> None:
     if not native_loader.native_available():
         print("SKIP native build unavailable")
         return
-    seeds = build_seeds(rng)
-    p = os.path.join(tempfile.mkdtemp(), "fuzz.bin")
-    stats = {"cases": 0, "ok": 0, "rejected": 0}
+    with tempfile.TemporaryDirectory() as tmp:
+        seeds = build_seeds(rng, tmp)
+        stats = {"cases": 0, "ok": 0, "rejected": 0}
 
-    def run(data: bytes) -> None:
-        with open(p, "wb") as f:
-            f.write(data)
-        r = native_loader.load_wav_mono(p)
-        stats["cases"] += 1
-        if r is None:
-            stats["rejected"] += 1
-            return
-        wav, _sr = r
-        assert len(wav) == 0 or np.isfinite(wav).all(), \
-            "non-finite samples from corrupt input"
-        stats["ok"] += 1
+        # Unique path per case: the native layer keeps a per-thread decode
+        # cache (keyed on path+size+mtime since the round-4 advisor finding);
+        # a reused path made earlier fuzz runs hit the cache instead of the
+        # decoders. Unique names guarantee every case reaches the decoder.
+        def run(data: bytes) -> None:
+            p = os.path.join(tmp, f"fuzz_{stats['cases']}.bin")
+            with open(p, "wb") as f:
+                f.write(data)
+            r = native_loader.load_wav_mono(p)
+            stats["cases"] += 1
+            os.unlink(p)
+            if r is None:
+                stats["rejected"] += 1
+                return
+            wav, _sr = r
+            assert len(wav) == 0 or np.isfinite(wav).all(), \
+                "non-finite samples from corrupt input"
+            stats["ok"] += 1
 
-    for blob in seeds.values():
-        n = len(blob)
-        arr = np.frombuffer(blob, np.uint8).copy()
-        # truncations: fine grid near the header, coarse grid over the body
-        for cut in sorted(set(list(range(0, min(n, 128)))
-                              + list(range(0, n, max(1, n // 100))))):
-            run(blob[:cut])
-        for _ in range(n_flips):  # single-bit flips
-            a2 = arr.copy()
-            a2[int(rng.integers(0, n))] ^= 1 << int(rng.integers(0, 8))
-            run(a2.tobytes())
-        for _ in range(n_flips // 4):  # burst corruption
-            m = int(rng.integers(16, 257))
-            i = int(rng.integers(0, max(1, n - m)))
-            a2 = arr.copy()
-            a2[i:i + m] = rng.integers(0, 256, m, np.uint8)
-            run(a2.tobytes())
-        for _ in range(n_flips // 4):  # magic-prefixed random garbage
-            run(blob[:4]
-                + rng.integers(0, 256, int(rng.integers(0, 4096)), np.uint8).tobytes())
-    for _ in range(n_flips // 2):  # pure random blobs
-        run(rng.integers(0, 256, int(rng.integers(0, 2048)), np.uint8).tobytes())
+        for blob in seeds.values():
+            n = len(blob)
+            arr = np.frombuffer(blob, np.uint8).copy()
+            # truncations: fine grid near the header, coarse grid over the body
+            for cut in sorted(set(list(range(0, min(n, 128)))
+                                  + list(range(0, n, max(1, n // 100))))):
+                run(blob[:cut])
+            for _ in range(n_flips):  # single-bit flips
+                a2 = arr.copy()
+                a2[int(rng.integers(0, n))] ^= 1 << int(rng.integers(0, 8))
+                run(a2.tobytes())
+            for _ in range(n_flips // 4):  # burst corruption
+                m = int(rng.integers(16, 257))
+                i = int(rng.integers(0, max(1, n - m)))
+                a2 = arr.copy()
+                a2[i:i + m] = rng.integers(0, 256, m, np.uint8)
+                run(a2.tobytes())
+            for _ in range(n_flips // 4):  # magic-prefixed random garbage
+                run(blob[:4]
+                    + rng.integers(0, 256, int(rng.integers(0, 4096)),
+                                   np.uint8).tobytes())
+        for _ in range(n_flips // 2):  # pure random blobs
+            run(rng.integers(0, 256, int(rng.integers(0, 2048)),
+                             np.uint8).tobytes())
 
     print(f"PASS cases={stats['cases']} decoded_ok={stats['ok']} "
           f"rejected={stats['rejected']}")

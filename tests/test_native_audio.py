@@ -49,6 +49,31 @@ def test_native_batch_load_with_resample(wav_files):
         assert err < 5e-3, err
 
 
+def test_native_cache_invalidates_on_overwrite(tmp_path):
+    """Regression (advisor round 4): the per-thread decode cache was keyed on
+    path only, so overwriting a file returned the stale previous decode.  Now
+    keyed on (path, size, mtime) — a rewrite at the same path must re-decode,
+    and a rewrite to garbage must be rejected, not served from cache."""
+    p = str(tmp_path / "same_path.wav")
+    sr = 24000
+    t = np.arange(sr) / sr
+    save_wav(p, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+    first = native_loader.load_wav_mono(p)
+    assert first is not None and len(first[0]) == sr
+    # Same length but different content (size unchanged -> mtime must differ).
+    import time
+    time.sleep(0.02)
+    save_wav(p, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), sr)
+    second = native_loader.load_wav_mono(p)
+    assert second is not None
+    assert not np.allclose(first[0], second[0]), "stale cached decode returned"
+    # Overwrite with garbage: must reject, not return the cached decode.
+    time.sleep(0.02)
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 100)
+    assert native_loader.load_wav_mono(p) is None
+
+
 def test_native_batch_marks_bad_files(tmp_path, wav_files):
     bad = str(tmp_path / "not_a_wav.wav")
     open(bad, "w").write("junk")
