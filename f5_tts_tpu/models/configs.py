@@ -158,5 +158,21 @@ def from_yaml_dict(model: dict) -> ModelConfig:
     )
 
 
+def to_yaml_dict(cfg: ModelConfig) -> dict:
+    """Inverse of :func:`from_yaml_dict`: a reference-format ``model:`` section
+    for a ModelConfig.  Used by the train CLI so hydra-style dotted overrides
+    (``++model.arch.dim=256``) can target builtin configs, not only YAML files
+    (reference: src/f5_tts/train/train.py:17-19 accepts arbitrary hydra
+    overrides on top of the named config)."""
+    backbone = {DiTConfig: "DiT", UNetTConfig: "UNetT", MMDiTConfig: "MMDiT"}[type(cfg.arch)]
+    return {
+        "name": cfg.name,
+        "backbone": backbone,
+        "tokenizer": cfg.tokenizer,
+        "arch": dataclasses.asdict(cfg.arch),
+        "mel_spec": dataclasses.asdict(cfg.mel),
+    }
+
+
 def with_vocab_size(cfg: ModelConfig, vocab_size: int) -> ModelConfig:
     return dataclasses.replace(cfg, arch=dataclasses.replace(cfg.arch, text_num_embeds=vocab_size))

@@ -53,6 +53,35 @@ def _scalar(v: str):
     return v.strip("'\"")
 
 
+def apply_overrides(cfg: dict, overrides: list[str]) -> dict:
+    """Hydra-style dotted overrides over the parsed config dict, in place.
+
+    Accepts ``section.key=value`` and ``++section.key=value`` (both set or
+    create the key — the reference's hydra CLI uses ``++`` for keys absent
+    from the base config, src/f5_tts/train/README.md:45-53).  Values parse
+    with the same scalar rules as the YAML subset; ``[a,b,c]`` parses to a
+    list of scalars.  Every config key is reachable without a dedicated flag.
+    """
+    for item in overrides:
+        spec = item[2:] if item.startswith("++") else item
+        path, eq, raw = spec.partition("=")
+        if not eq or "." not in path:
+            raise SystemExit(
+                f"bad override {item!r}: expected [++]section.key=value")
+        value = ([_scalar(x.strip()) for x in raw[1:-1].split(",") if x.strip()]
+                 if raw.startswith("[") and raw.endswith("]") else _scalar(raw))
+        node = cfg
+        keys = path.split(".")
+        for k in keys[:-1]:
+            nxt = node.get(k)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[k] = nxt
+            node = nxt
+        node[keys[-1]] = value
+    return cfg
+
+
 def main(argv=None):
     # serving/train graphs cost minutes of XLA compile; make restarts
     # cache-hits from a durable location (utils/compile_cache.py)
@@ -81,10 +110,15 @@ def main(argv=None):
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data axis (ZeRO-1)")
     p.add_argument("--pretrain", type=str, default=None, help="init weights (pt/safetensors/npz)")
+    p.add_argument("overrides", nargs="*", metavar="[++]section.key=value",
+                   help="hydra-style dotted config overrides applied over the "
+                        "YAML/builtin config (e.g. ++datasets.batch_size_per_gpu=19200 "
+                        "model.arch.depth=18 optim.mixed_precision=true)")
     args = p.parse_args(argv)
 
     from f5_tts_tpu.models.backbones import get_backbone
-    from f5_tts_tpu.models.configs import MODEL_CONFIGS, from_yaml_dict, with_vocab_size
+    from f5_tts_tpu.models.configs import (MODEL_CONFIGS, from_yaml_dict, to_yaml_dict,
+                                           with_vocab_size)
     from f5_tts_tpu.text.tokenizer import get_tokenizer
     from f5_tts_tpu.train.dataset import load_dataset
     from f5_tts_tpu.train.step import OptimConfig
@@ -92,6 +126,13 @@ def main(argv=None):
     from f5_tts_tpu.utils import ckpt as ckpt_util
 
     ycfg = parse_simple_yaml(args.config) if args.config else {}
+    if args.overrides:
+        # model.* overrides need a model section to land on; materialize the
+        # builtin config so dotted overrides work without a YAML file too
+        if "model" not in ycfg and any(
+                o.lstrip("+").startswith("model.") for o in args.overrides):
+            ycfg["model"] = to_yaml_dict(MODEL_CONFIGS[args.model])
+        apply_overrides(ycfg, args.overrides)
     model_section = ycfg.get("model", {})
     model_cfg = from_yaml_dict(model_section) if model_section else MODEL_CONFIGS[args.model]
     optim = ycfg.get("optim", {})
