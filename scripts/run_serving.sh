@@ -5,7 +5,10 @@
 #   2. start the HTTP server        3. smoke-test a request
 #   4. offline RTF benchmark
 # Usage: scripts/run_serving.sh <ckpt_file> <vocos_ckpt> <ref_wav> "<ref text>"
-#   ARTIFACTS=artifacts/ scripts/run_serving.sh ...   # AOT mode
+# Default: AOT --warm bundle under artifacts/ (zero-compile server loads,
+# tested by tests/test_aot.py::test_warm_bundle_loads_without_compile).
+#   ARTIFACTS=other/dir scripts/run_serving.sh ...   # custom bundle location
+#   ARTIFACTS= scripts/run_serving.sh ...            # live-jit + cache warmup
 
 set -euo pipefail
 CKPT=${1:?ckpt file}
@@ -13,7 +16,7 @@ VOC=${2:?vocos ckpt}
 REF=${3:?ref wav}
 REF_TEXT=${4:?ref text}
 PORT=${PORT:-8000}
-ARTIFACTS=${ARTIFACTS:-}
+ARTIFACTS=${ARTIFACTS-artifacts}
 
 if [[ -n "$ARTIFACTS" ]]; then
   echo "[1/4] building AOT engine artifacts -> $ARTIFACTS"

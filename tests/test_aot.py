@@ -123,6 +123,75 @@ def test_aot_options_come_from_meta(built):
     assert aot.options == eng.options  # nfe etc. restored from engine_meta.json
 
 
+def test_warm_bundle_loads_without_compile(tmp_path):
+    """The deploy property, cross-process: build a --warm bundle, load it in a
+    FRESH subprocess, and assert the first audio is produced with ZERO XLA
+    backend compiles after engine construction (counted via the
+    /jax/core/compile/backend_compile_duration monitoring event).  Covers
+    both the packaged-executable deserialization AND the AotEngine.warmup
+    crop-slice precompile — the full TRT 'engine file deserializes and
+    serves' analog (reference runtime/triton_trtllm/run.sh:18-112).
+    Construction-time compiles are excluded: this test uses init_random
+    (dozens of tiny PRNG-init compiles); a real deployment loads checkpoint
+    weights via numpy with no compiles either way."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # a serialized executable is topology-bound: build/warm and serve must see
+    # the same device count, so strip conftest's 8-device CPU forcing
+    xla_flags = " ".join(f for f in os.environ.get("XLA_FLAGS", "").split()
+                         if "xla_force_host_platform_device_count" not in f)
+    # repo-only PYTHONPATH: an inherited axon sitecustomize would re-pin the
+    # backend to the tunneled TPU and defeat JAX_PLATFORMS=cpu
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS=xla_flags,
+               PYTHONPATH=repo)
+
+    out = str(tmp_path / "art")
+    r = subprocess.run(
+        [sys.executable, "-m", "f5_tts_tpu.runtime.aot", "--out", out,
+         "--model", "F5TTS_Tiny", "--cpu-build", "--platforms", "cpu",
+         "--batches", "1", "--buckets", "256", "--ref-buckets", "256",
+         "--nfe", "2", "--warm"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "packaged 2 serialized executables" in r.stdout
+
+    script = textwrap.dedent(f"""
+        import jax
+        from jax._src import monitoring
+
+        compiles = []
+
+        def on_dur(name, dur, **kw):
+            if name == "/jax/core/compile/backend_compile_duration":
+                compiles.append(name)
+
+        monitoring.register_event_duration_secs_listener(on_dur)
+        import numpy as np
+        from f5_tts_tpu.infer.api import F5TTS
+
+        tts = F5TTS(model="F5TTS_Tiny", init_random=True, artifacts={out!r})
+        assert tts.engine.loaded_executables == 2, tts.engine.loaded_executables
+        after_ctor = len(compiles)
+        sr = tts.target_sample_rate
+        ref = (0.2 * np.sin(np.arange(sr) / 25.0)).astype(np.float32)
+        wav, _, _ = tts.infer(ref_file=(ref, sr), ref_text="a tone reference.",
+                              gen_text="warm bundle check.", seed=11, nfe_step=2,
+                              show_info=lambda *a, **k: None)
+        assert wav is not None and np.isfinite(wav).all()
+        n_serve = len(compiles) - after_ctor
+        assert n_serve == 0, f"{{n_serve}} XLA compiles on the serve path"
+        print("OK zero-compile serve")
+    """)
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "OK zero-compile serve" in r.stdout
+
+
 def test_warm_artifacts_load_without_compile(built):
     """warm_artifacts packages serialized PJRT executables with the bundle;
     AotEngine deserializes them directly (loaded_executables counts them) and
