@@ -130,9 +130,14 @@ def profile_step(iters=30, outdir="/tmp/jaxtrace"):
     shutil.rmtree(outdir, ignore_errors=True)
     with jax.profiler.trace(outdir):
         loop(x0, params).block_until_ready()
+    print_hlo_table(outdir)
 
-    # parse the xplane proto directly (needs
-    # PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python with this tb-profile build)
+
+def print_hlo_table(outdir: str, top: int = 28):
+    """Parse the xplane proto directly and print the per-HLO time table
+    (needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python with this
+    tb-profile build)."""
+    import glob
     from collections import defaultdict
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -158,8 +163,55 @@ def profile_step(iters=30, outdir="/tmp/jaxtrace"):
             continue
         total = sum(totals.values())
         print(f"\nplane: {plane.name}  total op time {total / 1e12 * 1e3:.2f} ms")
-        for name, t in sorted(totals.items(), key=lambda kv: -kv[1])[:28]:
+        for name, t in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
             print(f"{t / 1e12 * 1e3:9.3f} ms {t / total * 100:5.1f}%  x{counts[name]:<5} {name[:100]}")
+
+
+def profile_train(iters=10, outdir="/tmp/jaxtrace_train"):
+    """Trace `iters` full training steps (fwd+bwd+optimizer, the bench_train
+    configuration) and print the per-HLO time table — the training analog of
+    ``profile`` for the serving step.
+
+        python scripts/bench_step_breakdown.py profile_train [b] [n] [policy]
+    """
+    import dataclasses
+    import functools
+    import shutil
+
+    from f5_tts_tpu.models import dit
+    from f5_tts_tpu.models.configs import MODEL_CONFIGS
+    from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
+
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    policy = sys.argv[4] if len(sys.argv) > 4 else "dots_flash"
+    arch = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"].arch,
+                               checkpoint_activations=True, remat_policy=policy)
+    params = dit.init(jax.random.PRNGKey(0), arch)
+    opt_cfg = OptimConfig(mixed_precision=True)
+    opt_state, ema, step = init_train_state(params, opt_cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": rng.standard_normal((b, n, 100)).astype(np.float32),
+        "text_ids": rng.integers(0, 2545, (b, 256)).astype(np.int32),
+        "lens": np.full((b,), n, np.int32),
+    }
+    step_fn = jax.jit(
+        functools.partial(train_step, arch_cfg=arch, opt_cfg=opt_cfg, backend="train_auto"),
+        donate_argnums=(0, 1, 2, 3),
+    )
+    key = jax.random.PRNGKey(1)
+    subs = list(jax.random.split(key, iters + 1))
+    state = step_fn(params, opt_state, ema, step, batch, subs[0])  # compile
+    jax.block_until_ready(state[-1]["loss"])
+    shutil.rmtree(outdir, ignore_errors=True)
+    with jax.profiler.trace(outdir):
+        for i in range(iters):
+            state = step_fn(*state[:4], batch, subs[i + 1])
+        jax.block_until_ready(state[-1]["loss"])
+    print(f"train step b={b} n={n} policy={policy} ({iters} steps traced; "
+          "divide ms by step count)")
+    print_hlo_table(outdir, top=40)
 
 
 if __name__ == "__main__":
@@ -173,5 +225,7 @@ if __name__ == "__main__":
         bench_attn_sdpa()
     elif which == "profile":
         profile_step()
+    elif which == "profile_train":
+        profile_train()
     else:
         raise SystemExit(f"unknown bench {which}")

@@ -27,11 +27,18 @@ def main():
     from f5_tts_tpu.models.configs import MODEL_CONFIGS
     from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
 
-    arch = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"].arch, checkpoint_activations=True,
-                               remat_policy=(sys.argv[4] if len(sys.argv) > 4 else "nothing"))
-    b, n, nt = int(sys.argv[1]) if len(sys.argv) > 1 else 8, 1024, 256
+    pol = sys.argv[4] if len(sys.argv) > 4 else "nothing"
+    # "none" = no jax.checkpoint at all (every activation saved; zero recompute)
+    arch = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"].arch,
+                               checkpoint_activations=pol != "none",
+                               remat_policy=("nothing" if pol == "none" else pol))
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[5]) if len(sys.argv) > 5 else 1024  # frame bucket
+    accum = int(sys.argv[6]) if len(sys.argv) > 6 else 1  # grad accumulation
+    nt = 256
     params = dit.init(jax.random.PRNGKey(0), arch)
-    opt_cfg = OptimConfig(mixed_precision=len(sys.argv) > 2 and sys.argv[2] == "bf16")
+    opt_cfg = OptimConfig(mixed_precision=len(sys.argv) > 2 and sys.argv[2] == "bf16",
+                          grad_accumulation_steps=accum)
     opt_state, ema, step = init_train_state(params, opt_cfg)
 
     rng = np.random.default_rng(0)
