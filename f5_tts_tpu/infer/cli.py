@@ -77,6 +77,19 @@ def load_config(args) -> dict:
     if args.config:
         with open(args.config, "rb") as f:
             config = tomllib.load(f)
+        # resolve file paths relative to the TOML's own directory when they
+        # don't exist from the cwd — the bundled examples/*.toml reference
+        # their assets/ clips this way, so `f5-tts_infer-cli -c examples/
+        # basic.toml` works from any directory (the reference gets the same
+        # effect with importlib-resource paths, infer_cli.py:126-140)
+        base = os.path.dirname(os.path.abspath(args.config))
+        for section in [config, *config.get("voices", {}).values()]:
+            for key in ("ref_audio", "gen_file"):
+                p = section.get(key)
+                if p and not os.path.isabs(p) and not os.path.exists(p):
+                    cand = os.path.join(base, p)
+                    if os.path.exists(cand):
+                        section[key] = cand
     return config
 
 

@@ -37,6 +37,28 @@ def test_infer_cli_end_to_end(ref_wav_path, tmp_path):
     assert sr == 24000 and len(wav) > 1000
 
 
+def test_bundled_example_tomls_run_out_of_box(tmp_path, monkeypatch):
+    """The shipped examples/*.toml run with zero user setup (reference bundles
+    infer/examples/basic/basic_ref_en.wav + examples/multi/*.flac for the same
+    first-run experience).  Asset paths resolve relative to the TOML from any
+    cwd; the multi-voice prompts are FLAC, so this also exercises
+    native/flacdec.cpp on the inference path.  Weights are overridden to the
+    tiny random model so the smoke stays CPU-fast."""
+    from f5_tts_tpu.infer.cli import main
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.chdir(tmp_path)  # prove TOML-relative asset resolution
+    for toml_name, out_name in [("basic.toml", "b.wav"), ("multi_voice.toml", "m.wav")]:
+        out = main([
+            "-c", os.path.join(repo, "examples", toml_name),
+            "--model", "F5TTS_Tiny", "--init_random", "--nfe_step", "2",
+            "--output_dir", str(tmp_path), "--output_file", out_name,
+        ])
+        assert out is not None and os.path.isfile(out), toml_name
+        wav, sr = load_wav(out)
+        assert sr == 24000 and len(wav) > 1000
+
+
 def test_infer_cli_model_cfg_yaml_and_chunks(ref_wav_path, tmp_path):
     """-mc/--model_cfg loads a custom arch YAML (reference infer_cli.py:268-272)
     and --save_chunk names files '{i}_{text}.wav' with ASCII transliteration
