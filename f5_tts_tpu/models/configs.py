@@ -39,8 +39,11 @@ class DiTConfig:
     # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable);
     # "flash" saves only the flash-attention out/lse so backward recompute
     # skips the Pallas forward kernel (smallest memory add per saved FLOP);
-    # "dots_flash" composes both — A/B per chip with scripts/bench_train.py
-    remat_policy: str = "nothing"
+    # "dots_flash" composes both; "auto" (default) picks per shape from the
+    # measured v5e policy matrix (models/dit.py remat_policy: dots_flash
+    # when per-device b*n fits HBM, else flash) — A/B per chip with
+    # scripts/bench_train.py, table in DEVELOPMENT.md
+    remat_policy: str = "auto"
     backbone: str = "DiT"
     # rope/abs-pos table horizon: 8192 frames ~ 87s @ 24kHz hop 256 (dit.py:47)
     max_pos: int = 8192
@@ -65,7 +68,7 @@ class UNetTConfig:
     pe_attn_head: int | None = None
     skip_connect_type: str = "concat"
     checkpoint_activations: bool = False
-    remat_policy: str = "nothing"  # see DiTConfig.remat_policy
+    remat_policy: str = "auto"  # see DiTConfig.remat_policy
     backbone: str = "UNetT"
     max_pos: int = 4096
 
@@ -84,7 +87,7 @@ class MMDiTConfig:
     text_mask_padding: bool = True
     qk_norm: str | None = None
     checkpoint_activations: bool = False
-    remat_policy: str = "nothing"  # see DiTConfig.remat_policy
+    remat_policy: str = "auto"  # see DiTConfig.remat_policy
     backbone: str = "MMDiT"
     max_pos: int = 4096
     text_max_pos: int = 1024

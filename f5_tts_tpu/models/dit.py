@@ -57,15 +57,37 @@ def init(key: jax.Array, cfg: DiTConfig):
     return params
 
 
-def remat_policy(cfg):
+# per-device token budget below which "dots_flash" fits v5e HBM at
+# F5TTS_v1_Base scale: measured fit at 16x1024 (39.9k frames/s), OOM at
+# 32x1024 and 16x2048 (16.8G > 15.75G) — round-5 remat-policy matrix,
+# DEVELOPMENT.md "Training remat-policy A/B"
+AUTO_DOTS_FLASH_MAX_TOKENS = 16_384
+
+
+def remat_policy(cfg, tokens: int | None = None):
     """jax.checkpoint policy from cfg.remat_policy (None = save nothing).
 
     "flash" saves only the flash-attention kernel outputs (tagged
     ``flash_out``/``flash_lse`` in ops/flash_attention.py) so the backward
-    recompute never re-runs the Pallas forward — the cheapest memory/FLOP
-    trade at F5 shapes (~out+lse per block vs "dots" saving every matmul).
-    "dots_flash" composes both."""
+    recompute never re-runs the Pallas forward (~out+lse per block vs "dots"
+    saving every matmul).  "dots_flash" composes both.
+
+    "auto" picks per shape from the measured round-5 policy matrix (v5e,
+    F5TTS_v1_Base, bf16): "dots_flash" when the trace's token count
+    (``tokens`` = b*n) fits HBM (fastest everywhere it compiles: 40.5k
+    frames/s at 8x1024 vs 37.5k full-remat), else "flash" (beats full-remat
+    at every large shape measured: 37.3k vs 35.3k at 32x1024, 32.1k vs 30.7k
+    at 16x2048).  The Trainer pre-resolves "auto" from its per-device frame
+    budget (exact under data parallelism); direct forward() calls resolve
+    from the traced global shape, which over-counts per-device tokens on a
+    mesh and therefore degrades conservatively toward "flash"."""
     pol = getattr(cfg, "remat_policy", "nothing")
+    if pol == "auto":
+        if tokens is None:
+            raise ValueError(
+                "remat_policy='auto' needs the trace's token count; pass "
+                "tokens=b*n or pre-resolve (train/trainer.py resolve_remat_policy)")
+        pol = "dots_flash" if tokens <= AUTO_DOTS_FLASH_MAX_TOKENS else "flash"
     if pol == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     if pol == "flash":
@@ -242,7 +264,7 @@ def forward(
             return _pin(out), None
 
         if cfg.checkpoint_activations:
-            block_fn_mod = jax.checkpoint(block_fn_mod, policy=remat_policy(cfg))
+            block_fn_mod = jax.checkpoint(block_fn_mod, policy=remat_policy(cfg, tokens=b * n))
         h, _ = jax.lax.scan(block_fn_mod, h, (params["blocks"], adaln_mods[0].astype(h.dtype)))
     else:
         def block_fn(carry, bp):
@@ -253,7 +275,7 @@ def forward(
             return _pin(out), None
 
         if cfg.checkpoint_activations:
-            block_fn = jax.checkpoint(block_fn, policy=remat_policy(cfg))
+            block_fn = jax.checkpoint(block_fn, policy=remat_policy(cfg, tokens=b * n))
         h, _ = jax.lax.scan(block_fn, h, params["blocks"])
 
     if activation_constraint is not None:

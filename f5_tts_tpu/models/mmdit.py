@@ -229,8 +229,9 @@ def forward(
         # policy semantics match models/dit.py remat_policy)
         from f5_tts_tpu.models.dit import remat_policy
 
-        body = jax.checkpoint(body, policy=remat_policy(cfg))
-        last_fn = jax.checkpoint(last_fn, policy=remat_policy(cfg))
+        tokens = h.shape[0] * h.shape[1]
+        body = jax.checkpoint(body, policy=remat_policy(cfg, tokens=tokens))
+        last_fn = jax.checkpoint(last_fn, policy=remat_policy(cfg, tokens=tokens))
 
     (h, c), _ = jax.lax.scan(body, (h, c), params["blocks"])
     h, _ = last_fn(h, c)

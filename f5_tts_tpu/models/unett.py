@@ -174,8 +174,9 @@ def forward(
         # match models/dit.py remat_policy)
         from f5_tts_tpu.models.dit import remat_policy
 
-        first_fn = jax.checkpoint(first_fn, policy=remat_policy(cfg))
-        second_fn = jax.checkpoint(second_fn, policy=remat_policy(cfg))
+        tokens = h.shape[0] * h.shape[1]
+        first_fn = jax.checkpoint(first_fn, policy=remat_policy(cfg, tokens=tokens))
+        second_fn = jax.checkpoint(second_fn, policy=remat_policy(cfg, tokens=tokens))
 
     h, skips = jax.lax.scan(first_fn, h, params["first"])
 

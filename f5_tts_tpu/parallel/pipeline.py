@@ -214,7 +214,11 @@ def make_dit_block_scan(cfg, mesh: Mesh, n_micro: int, backend: str = "auto",
         return gpipe_block_scan(
             block_fn, stacked_blocks, h, t_emb, mask, rope,
             mesh=mesh, n_micro=n_micro, checkpoint=cfg.checkpoint_activations,
-            policy=remat_policy(cfg), seq_shard=use_ring,
+            # per-device tokens inside the pipeline body: one microbatch,
+            # frame axis split over seq when ring-sharded
+            policy=remat_policy(cfg, tokens=max(1, h.shape[0] // max(n_micro, 1))
+                                * h.shape[1] // (sp if use_ring else 1)),
+            seq_shard=use_ring,
         )
 
     return block_scan

@@ -25,6 +25,29 @@ from f5_tts_tpu.train.dataset import DynamicBatchSampler, collate_batch
 from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
 
 
+def resolve_remat_policy(model_cfg, batch_size_per_device: int, batch_size_type: str):
+    """Pre-resolve ``remat_policy="auto"`` from the trainer's PER-DEVICE
+    frame budget (exact under data parallelism, where the traced global
+    shape that models/dit.py would otherwise fall back on over-counts).
+    Frame-mode budgets map directly to b*n tokens; sample mode doesn't know
+    frames ahead, so it takes the memory-safe large-shape winner ("flash").
+    Measured matrix: DEVELOPMENT.md "Training remat-policy A/B"."""
+    import dataclasses as _dc
+
+    arch = model_cfg.arch
+    if (not getattr(arch, "checkpoint_activations", False)
+            or getattr(arch, "remat_policy", "nothing") != "auto"):
+        return model_cfg
+    if batch_size_type == "frame":
+        from f5_tts_tpu.models.dit import AUTO_DOTS_FLASH_MAX_TOKENS
+
+        pol = ("dots_flash" if batch_size_per_device <= AUTO_DOTS_FLASH_MAX_TOKENS
+               else "flash")
+    else:
+        pol = "flash"
+    return _dc.replace(model_cfg, arch=_dc.replace(arch, remat_policy=pol))
+
+
 class Trainer:
     def __init__(
         self,
@@ -64,6 +87,7 @@ class Trainer:
             import dataclasses as _dc
 
             opt_cfg = _dc.replace(opt_cfg, grad_accumulation_steps=grad_accumulation_steps)
+        model_cfg = resolve_remat_policy(model_cfg, batch_size_per_device, batch_size_type)
         self.model_cfg = model_cfg
         self.vocab = vocab
         self.opt_cfg = opt_cfg

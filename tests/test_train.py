@@ -553,3 +553,59 @@ def test_trainer_preemption_sigterm_saves_and_resumes(tmp_path):
         D.init(jax.random.PRNGKey(1), arch), ds, epochs=40, resume=True
     )
     assert upd2 == total, "resume must finish the remaining updates"
+
+
+def test_remat_policy_auto_resolution():
+    """remat_policy="auto" (the new default) picks per shape from the measured
+    round-5 v5e matrix: dots_flash for per-device token counts that fit HBM,
+    flash above (DEVELOPMENT.md "Training remat-policy A/B"); the Trainer
+    pre-resolves from its per-device frame budget, direct forward() calls
+    resolve from the traced shape, and an unresolvable call raises."""
+    import dataclasses
+
+    from f5_tts_tpu.models.configs import MODEL_CONFIGS
+    from f5_tts_tpu.train.trainer import resolve_remat_policy
+
+    arch = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"].arch,
+                               checkpoint_activations=True)
+    assert arch.remat_policy == "auto"  # the shipped default
+    # trace-time resolution
+    assert D.remat_policy(arch, tokens=8 * 1024) is not None  # dots_flash
+    assert D.remat_policy(arch, tokens=32 * 1024) is not None  # flash
+    with pytest.raises(ValueError, match="auto"):
+        D.remat_policy(arch)
+    # trainer pre-resolution: frame budgets map directly to tokens
+    mc = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"], arch=arch)
+    assert resolve_remat_policy(mc, 8_192, "frame").arch.remat_policy == "dots_flash"
+    assert resolve_remat_policy(mc, 16_384, "frame").arch.remat_policy == "dots_flash"
+    assert resolve_remat_policy(mc, 38_400, "frame").arch.remat_policy == "flash"
+    assert resolve_remat_policy(mc, 16, "sample").arch.remat_policy == "flash"
+    # no-op when remat is off or the policy is explicit
+    off = dataclasses.replace(mc, arch=dataclasses.replace(arch, checkpoint_activations=False))
+    assert resolve_remat_policy(off, 8_192, "frame").arch.remat_policy == "auto"
+    pinned = dataclasses.replace(mc, arch=dataclasses.replace(arch, remat_policy="dots"))
+    assert resolve_remat_policy(pinned, 8_192, "frame").arch.remat_policy == "dots"
+
+
+def test_train_step_with_auto_remat_runs():
+    """A full train step under checkpoint_activations with the default
+    "auto" policy traces and runs (tokens resolved from the traced shape)."""
+    import dataclasses
+
+    from f5_tts_tpu.train.step import init_train_state, train_step
+
+    arch = DiTConfig(dim=64, depth=2, heads=2, dim_head=32, text_dim=32,
+                     text_num_embeds=200, mel_dim=20, conv_layers=1,
+                     checkpoint_activations=True)
+    assert arch.remat_policy == "auto"
+    params = D.init(jax.random.PRNGKey(0), arch)
+    opt_cfg = OptimConfig()
+    opt_state, ema, step = init_train_state(params, opt_cfg)
+    batch = {
+        "mel": np.random.default_rng(0).standard_normal((2, 64, 20)).astype(np.float32),
+        "text_ids": np.zeros((2, 16), np.int32),
+        "lens": np.full((2,), 64, np.int32),
+    }
+    out = train_step(params, opt_state, ema, step, batch, jax.random.PRNGKey(1),
+                     arch_cfg=arch, opt_cfg=opt_cfg, backend="sdpa")
+    assert np.isfinite(float(out[-1]["loss"]))
