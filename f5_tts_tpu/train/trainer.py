@@ -101,6 +101,18 @@ class Trainer:
         self.seed = seed
         self.mesh = mesh
         self.log_samples_fn = log_samples_fn
+        self._log_samples_wants_params = False
+        if log_samples_fn is not None:
+            import inspect
+
+            try:
+                n_pos = sum(
+                    p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                               inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                    for p in inspect.signature(log_samples_fn).parameters.values())
+                self._log_samples_wants_params = n_pos >= 3
+            except (TypeError, ValueError):
+                pass
         self.zero1 = zero1
         self.tensor_parallel = tensor_parallel
         self.mel_in_graph = mel_in_graph
@@ -379,7 +391,14 @@ class Trainer:
         else:
             bsh = None
 
-        key = jax.random.PRNGKey(self.seed)
+        # fold the resume position into the stream: a resumed run must NOT
+        # replay the same per-step randomness (time draws, span masks, CFG
+        # drops) from the beginning — segment-resumed probe training measured
+        # the damage (DEVELOPMENT.md round-5 speak probe: 13 replays of one
+        # 162-step randomness block kept held-out CER at 0.83 where fresh
+        # draws reach 0.0 by update ~1000)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                 int(np.asarray(state["step"])))
         # state["step"] counts MICRO-steps; "update" counts optimizer updates
         # (= micro // k under grad accumulation — reference trainer.py:63-68
         # counts per-accumulated update for warmup/save/resume bookkeeping)
@@ -568,7 +587,14 @@ class Trainer:
                     self.save_checkpoint(state, update)
                     if self.log_samples_fn is not None:  # reference log_samples (:408-438)
                         try:
-                            self.log_samples_fn(ema_params, update)
+                            # 3+-arg callbacks also get the ONLINE params: at
+                            # early-training update counts the EMA is still
+                            # ~the init snapshot (decay .9999 — see the probe
+                            # notes), so eval callbacks need the live weights
+                            if self._log_samples_wants_params:
+                                self.log_samples_fn(ema_params, update, params)
+                            else:
+                                self.log_samples_fn(ema_params, update)
                         except Exception as e:  # noqa: BLE001 — sampling must not kill training
                             print(f"log_samples failed at update {update}: {e}")
                 if did_update and update % self.last_per_updates == 0:

@@ -115,6 +115,9 @@ def main():
     ap.add_argument("--nfe", type=int, default=16)
     ap.add_argument("--cfg", type=float, default=2.0)
     ap.add_argument("--max-updates", type=int, default=20_000)
+    ap.add_argument("--total-updates", type=int, default=None,
+                    help="LR decay horizon (default: --max-updates); pin it to "
+                    "compare runs with different stopping points fairly")
     ap.add_argument("--eval-every", type=int, default=1_000)
     ap.add_argument("--target-cer", type=float, default=0.05)
     ap.add_argument("--n-eval", type=int, default=24, help="held-out utterances")
@@ -249,50 +252,70 @@ def main():
         print(f"loaded params from {args.skip_train}", file=sys.stderr)
         update = -1
     else:
+        import math
         import shutil
+        import signal
 
         if args.fresh:
             shutil.rmtree(args.ckpt_dir, ignore_errors=True)
-        tr = Trainer(
-            model_cfg, None,
-            OptimConfig(mixed_precision=on_tpu, learning_rate=args.lr,
-                        num_warmup_updates=min(500, args.max_updates // 4),
-                        total_updates=args.max_updates),
-            ckpt_dir=args.ckpt_dir, batch_size_per_device=args.batch_frames,
-            max_samples=64, save_per_updates=10**9, last_per_updates=10**9,
-            seed=0, mel_in_graph=True,
-        )
-        # updates per epoch from the sampler the trainer will build
-        from f5_tts_tpu.train.dataset import DynamicBatchSampler
 
-        per_epoch = len(DynamicBatchSampler(ds, frames_threshold=args.batch_frames,
-                                            max_samples=64, random_seed=0))
-        seg_epochs = max(1, round(args.eval_every / per_epoch))
-        print(f"{per_epoch} updates/epoch; eval every {seg_epochs} epochs "
-              f"(~{seg_epochs * per_epoch} updates)", file=sys.stderr)
-        params0 = dit.init(jax.random.PRNGKey(0), arch)
-        update, epochs_done = 0, 0
+        # CER evals run INSIDE the training loop via the trainer's
+        # log_samples hook (3-arg form receives the ONLINE params — the EMA
+        # at probe update counts is still the init snapshot).  Early stop
+        # rides the production SIGTERM preemption path: the hook signals the
+        # process, the in-flight step finishes, a durable model_last is
+        # written, and train() returns cleanly.  (A segment-per-eval loop
+        # with orbax re-resume also works but trips a tunnel-env device_put
+        # flake on in-process restore-after-training; the hook design keeps
+        # ONE train() call and no mid-run restores.)
         t_start = time.perf_counter()
-        while update < args.max_updates:
-            epochs_done += seg_epochs
-            t0 = time.perf_counter()
-            # exact-resume production path: each segment continues the same
-            # run from the durable model_last written by the previous one
-            params, _, update = tr.train(params0, ds, epochs=epochs_done, resume=True)
+        t_seg = [t_start]
+
+        def eval_hook(ema_params, update, params):
             cer, acc, pairs = eval_cer(params)
+            now = time.perf_counter()
             rec = {"update": int(update), "cer": round(cer, 4),
                    "tone_acc": round(acc, 4),
-                   "wall_s": round(time.perf_counter() - t_start, 1),
-                   "seg_s": round(time.perf_counter() - t0, 1)}
+                   "wall_s": round(now - t_start, 1),
+                   "seg_s": round(now - t_seg[0], 1)}
+            t_seg[0] = now
             curve.append(rec)
-            print(json.dumps(rec))
+            print(json.dumps(rec), flush=True)
             print(f"  e.g. '{pairs[0][0]}' -> '{pairs[0][1]}' | "
                   f"'{pairs[1][0]}' -> '{pairs[1][1]}'", file=sys.stderr)
             save_params(params, args.out)
             if cer < args.target_cer:
-                print(f"target CER {args.target_cer} reached at update {update}",
-                      file=sys.stderr)
-                break
+                print(f"target CER {args.target_cer} reached at update {update}; "
+                      "stopping via the preemption path", file=sys.stderr)
+                os.kill(os.getpid(), signal.SIGTERM)
+
+        tr = Trainer(
+            model_cfg, None,
+            OptimConfig(mixed_precision=on_tpu, learning_rate=args.lr,
+                        num_warmup_updates=min(500, args.max_updates // 4),
+                        total_updates=args.total_updates or args.max_updates),
+            ckpt_dir=args.ckpt_dir, batch_size_per_device=args.batch_frames,
+            max_samples=64, save_per_updates=args.eval_every,
+            keep_last_n_checkpoints=1, last_per_updates=10**9,
+            seed=0, mel_in_graph=True, log_samples_fn=eval_hook,
+        )
+        from f5_tts_tpu.train.dataset import DynamicBatchSampler
+
+        per_epoch = len(DynamicBatchSampler(ds, frames_threshold=args.batch_frames,
+                                            max_samples=64, random_seed=0))
+        epochs = math.ceil(args.max_updates / per_epoch)
+        print(f"{per_epoch} updates/epoch; eval every {args.eval_every} updates; "
+              f"up to {epochs} epochs", file=sys.stderr)
+        params0 = dit.init(jax.random.PRNGKey(0), arch)
+        params, _, update = tr.train(params0, ds, epochs=epochs,
+                                     resume=not args.fresh)
+        if not curve or curve[-1]["update"] != int(update):
+            cer, acc, _ = eval_cer(params)
+            curve.append({"update": int(update), "cer": round(cer, 4),
+                          "tone_acc": round(acc, 4),
+                          "wall_s": round(time.perf_counter() - t_start, 1)})
+            print(json.dumps(curve[-1]), flush=True)
+            save_params(params, args.out)
         print(f"params saved to {args.out}", file=sys.stderr)
 
     if args.skip_train:
