@@ -129,6 +129,9 @@ def main():
                     help="wipe --ckpt-dir instead of resuming it")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true", help="CI smoke: tiny arch, few updates")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="trainer seed (data order + per-step randomness stream); "
+                    "the order-alignment 'click' update varies strongly by stream")
     args = ap.parse_args()
 
     import jax
@@ -297,7 +300,7 @@ def main():
             ckpt_dir=args.ckpt_dir, batch_size_per_device=args.batch_frames,
             max_samples=64, save_per_updates=args.eval_every,
             keep_last_n_checkpoints=1, last_per_updates=10**9,
-            seed=0, mel_in_graph=True, log_samples_fn=eval_hook,
+            seed=args.seed, mel_in_graph=True, log_samples_fn=eval_hook,
         )
         from f5_tts_tpu.train.dataset import DynamicBatchSampler
 
