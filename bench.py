@@ -136,11 +136,77 @@ def main():
         rep = rtf_report(wavs, lats, sr)
         p50_ms, mean_ms = rep["latency_ms_p50"], rep["latency_ms_mean"]
         serve_rtf = serve_wall / rep["total_audio_s"]
-        print(f"serving {n_prompts}-prompt b1: p50 {p50_ms:.0f} ms, mean {mean_ms:.0f} ms, "
+        print(f"serving {n_prompts}-prompt b1: p50 {p50_ms:.0f} ms, "
+              f"p99 {rep['latency_ms_p99']:.0f} ms, mean {mean_ms:.0f} ms, "
               f"wall RTF {serve_rtf:.4f}", file=sys.stderr)
     except Exception:
         traceback.print_exc()
         print("serving-latency section failed; continuing", file=sys.stderr)
+
+    # the same prompt set through the DYNAMIC BATCHER (infer/batcher.py, the
+    # Triton dynamic-batching equivalent) under concurrent mixed-length
+    # clients — the reference measures this operating point with
+    # client_grpc.py concurrent tasks (:292-303) and reports the latency
+    # percentile ladder (:432-440).
+    batched = None
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from f5_tts_tpu.infer.batcher import DynamicBatcher
+
+        batcher = DynamicBatcher(engine, max_batch=2, queue_delay_ms=4.0)
+        # warm the b=2 graph of every bucket this set hits (b=1 graphs are
+        # warm from the section above): two same-bucket submits inside one
+        # queue window group into a padded batch-2 engine call
+        from f5_tts_tpu.infer.engine import pick_bucket
+
+        warm_ref = prng.standard_normal((64, model_cfg.mel.n_mel_channels)).astype(np.float32)
+        for bucket in sorted({pick_bucket(r.duration, engine.buckets) for r in reqs}):
+            futs = [batcher.submit(reqs[0].text_ids, bucket - 1, seed=i, ref_mel=warm_ref)
+                    for i in range(2)]
+            for f in futs:
+                f.result()
+
+        n_clients = 4
+        req_lat: list[float] = []
+        req_audio: list[float] = []
+
+        def client(idx):
+            # each client walks its own mixed-length slice, sequentially —
+            # cross-client concurrency is what the batcher merges
+            for i in range(idx, len(reqs), n_clients):
+                r = reqs[i]
+                t1 = time.perf_counter()
+                wav, gen_frames, _ = batcher.generate(
+                    r.text_ids, r.duration, seed=r.seed, ref_mel=r.ref_mel)
+                req_lat.append(time.perf_counter() - t1)
+                req_audio.append(len(wav) / sr)
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=n_clients) as ex:
+            list(ex.map(client, range(n_clients)))
+        bat_wall = time.perf_counter() - t0
+        stats = batcher.stats()
+        batcher.close()
+        rep_b = rtf_report([np.zeros(int(a * sr), np.float32) for a in req_audio],
+                           req_lat, sr)
+        batched = {
+            "batched_serving_rtf": round(bat_wall / max(sum(req_audio), 1e-9), 5),
+            "latency_p90_ms": round(rep_b["latency_ms_p90"], 1),
+            "latency_p95_ms": round(rep_b["latency_ms_p95"], 1),
+            "latency_p99_ms": round(rep_b["latency_ms_p99"], 1),
+            "batched_latency_p50_ms": round(rep_b["latency_ms_p50"], 1),
+            "batcher_avg_batch_size": round(stats["avg_batch_size"], 2),
+            "batcher_queue_ms_avg": round(stats["queue_ms_avg"], 1),
+        }
+        print(f"batched serving ({n_clients} clients, max_batch 2): "
+              f"RTF {batched['batched_serving_rtf']:.4f}, "
+              f"p50 {batched['batched_latency_p50_ms']:.0f} / "
+              f"p99 {batched['latency_p99_ms']:.0f} ms, "
+              f"avg batch {batched['batcher_avg_batch_size']:.2f}", file=sys.stderr)
+    except Exception:
+        traceback.print_exc()
+        print("batched-serving section failed; continuing", file=sys.stderr)
 
     # streaming TTFB through the real chunked pipeline (socket-server path)
     ttfb_ms = None
@@ -199,6 +265,8 @@ def main():
             "latency_vs_baseline": round(BASELINE_LATENCY_MS / mean_ms, 3),
             "serving_rtf_b1": round(serve_rtf, 5),
         })
+    if batched is not None:
+        out.update(batched)
     if ttfb_ms is not None:
         out["ttfb_ms"] = round(ttfb_ms, 1)
     print(json.dumps(out))
