@@ -420,11 +420,24 @@ def _pick_block(n: int, preferred: int) -> int:
     return blk
 
 
-def flash_attention_trainable(q, k, v, mask=None, block_q: int = 512, block_k: int = 512):
+def flash_attention_trainable(q, k, v, mask=None,
+                              block_q: int | None = None, block_k: int | None = None):
     """Differentiable flash attention (custom VJP with Pallas fwd+bwd kernels).
     Padding-query rows must receive zero upstream gradient — guaranteed when
-    the caller re-masks the attention output (models/layers.py mha does)."""
+    the caller re-masks the attention output (models/layers.py mha does).
+
+    Default blocks are shape-aware (round-5 v5e sweep via bench_train,
+    F5TTS_v1_Base 8x1024 dots_flash): whole-row 1024/1024 beats the old
+    512/512 by 4.3% end-to-end train step (40.46k -> 42.20k frames/s;
+    1024/512 = 41.07k) — same bigger-block/fewer-program-switch win the
+    serving kernel got in round 2.  At n > 1024 the kernels' UNROLLED inner
+    loops do not share VMEM stack (16x2048 with 1024 blocks: Mosaic scoped
+    vmem OOM, 17.86M > 16M), so larger buckets keep 512/512."""
     b, h, n, dh = q.shape
+    if block_q is None:
+        block_q = 1024 if n <= 1024 else 512
+    if block_k is None:
+        block_k = 1024 if n <= 1024 else 512
     lens = jnp.full((b,), n, jnp.int32) if mask is None else jnp.sum(mask, axis=-1).astype(jnp.int32)
     return _flash_diff(q, k, v, lens, _pick_block(n, block_q), _pick_block(n, block_k), None)
 
