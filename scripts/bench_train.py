@@ -1,8 +1,12 @@
 """Training-step throughput on the current device (frames/s per chip).
 
 Reference scale point: 8 GPUs x 38,400 frames/GPU per update
-(configs/F5TTS_v1_Base.yaml).  This measures one chip's sustainable
-frames/s on the F5TTS_v1_Base arch with activation rematerialization.
+(configs/F5TTS_v1_Base.yaml).  Measures one chip's sustainable frames/s.
+
+    python scripts/bench_train.py [b] [bf16] [backend] [policy] [bucket] [accum] [model]
+
+model = any MODEL_CONFIGS name (F5TTS_v1_Base default; F5TTS_MMDiT_Base,
+E2TTS_Base, ... pick the matching backbone automatically).
 """
 
 import sys
@@ -23,20 +27,22 @@ def main():
     enable_persistent_cache()
     import functools
 
-    from f5_tts_tpu.models import dit
+    from f5_tts_tpu.models.backbones import get_backbone
     from f5_tts_tpu.models.configs import MODEL_CONFIGS
     from f5_tts_tpu.train.step import OptimConfig, init_train_state, train_step
 
     pol = sys.argv[4] if len(sys.argv) > 4 else "nothing"
+    model = sys.argv[7] if len(sys.argv) > 7 else "F5TTS_v1_Base"
     # "none" = no jax.checkpoint at all (every activation saved; zero recompute)
-    arch = dataclasses.replace(MODEL_CONFIGS["F5TTS_v1_Base"].arch,
+    arch = dataclasses.replace(MODEL_CONFIGS[model].arch,
                                checkpoint_activations=pol != "none",
                                remat_policy=("nothing" if pol == "none" else pol))
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[5]) if len(sys.argv) > 5 else 1024  # frame bucket
     accum = int(sys.argv[6]) if len(sys.argv) > 6 else 1  # grad accumulation
     nt = 256
-    params = dit.init(jax.random.PRNGKey(0), arch)
+    backbone = get_backbone(arch)
+    params = backbone.init(jax.random.PRNGKey(0), arch)
     opt_cfg = OptimConfig(mixed_precision=len(sys.argv) > 2 and sys.argv[2] == "bf16",
                           grad_accumulation_steps=accum)
     opt_state, ema, step = init_train_state(params, opt_cfg)
@@ -74,7 +80,7 @@ def main():
     # remat recompute not counted)
     from f5_tts_tpu.utils.flops import V5E_BF16_PEAK_FLOPS, train_step_flops
 
-    step_flops = train_step_flops(MODEL_CONFIGS["F5TTS_v1_Base"], n, batch=b)
+    step_flops = train_step_flops(MODEL_CONFIGS[model], n, batch=b)
     tflops = step_flops / dt / 1e12
     mfu_pct = 100.0 * step_flops / dt / V5E_BF16_PEAK_FLOPS
     print(f"MFU: {tflops:.1f} TFLOP/s = {mfu_pct:.1f}% of v5e bf16 peak", file=sys.stderr)
